@@ -1,0 +1,753 @@
+"""Pure-Python string-similarity metrics.
+
+Re-implementations (from the published algorithm definitions) of the metric
+ensemble the reference engine exposes via ``make_distance_metrics``
+(/root/reference/name_matching/distance_metrics.py:6-432).  Every function
+here maps two strings to a similarity in [0, 1] and is validated against the
+golden values in /root/reference/name_matching/test/test_distance_metrics.py.
+
+These serve double duty: they are the kernel executed inside the Spark
+pandas UDF (operators/scoring.py) *and* the NumPy-free oracle used by the
+test-suite, so Spark output and oracle output come from one implementation.
+
+Design note: the reference wraps each metric in an Abydos class hierarchy;
+here each metric is a plain function (or closure), which is both simpler and
+faster inside Arrow-batched UDFs.  Group structure and iteration order of
+``make_metric_registry`` mirror the reference registry so that score-matrix
+column order is identical (distance_metrics.py:257-431).
+"""
+
+from __future__ import annotations
+
+import bz2
+import unicodedata
+from collections import Counter
+from difflib import SequenceMatcher
+from functools import lru_cache
+from math import copysign, log
+
+from .tokenize import (
+    QGRAM2_ALPHABET,
+    TokenStats,
+    char_counter,
+    qgram_counter,
+    regexp_tokens,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _qstats(src: str, tar: str) -> TokenStats:
+    return TokenStats(qgram_counter(src), qgram_counter(tar), QGRAM2_ALPHABET)
+
+
+def _lev_dist_abs(src: str, tar: str, ins: float = 1, dele: float = 1,
+                  sub: float = 1) -> float:
+    """Wagner-Fischer levenshtein distance (mode 'lev')."""
+    if src == tar:
+        return 0
+    if not src:
+        return ins * len(tar)
+    if not tar:
+        return dele * len(src)
+    prev = [j * ins for j in range(len(tar) + 1)]
+    for i, cs in enumerate(src, 1):
+        cur = [i * dele]
+        for j, ct in enumerate(tar, 1):
+            best = prev[j - 1] if cs == ct else prev[j - 1] + sub
+            up = prev[j] + dele
+            if up < best:
+                best = up
+            left = cur[j - 1] + ins
+            if left < best:
+                best = left
+            cur.append(best)
+        prev = cur
+    return prev[-1]
+
+
+def _lcs_len(src: str, tar: str) -> int:
+    """Longest common subsequence length (standard DP, rolling rows)."""
+    if not src or not tar:
+        return 0
+    prev = [0] * (len(tar) + 1)
+    for cs in src:
+        cur = [0]
+        for j, ct in enumerate(tar, 1):
+            if cs == ct:
+                cur.append(prev[j - 1] + 1)
+            else:
+                cur.append(cur[j - 1] if cur[j - 1] >= prev[j] else prev[j])
+        prev = cur
+    return prev[-1]
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein family
+# ---------------------------------------------------------------------------
+
+
+def sim_levenshtein(src: str, tar: str) -> float:
+    if src == tar:
+        return 1.0
+    denom = max(len(src), len(tar))
+    if denom == 0:
+        return 1.0
+    return 1.0 - _lev_dist_abs(src, tar) / denom
+
+
+def sim_indel(src: str, tar: str) -> float:
+    """Levenshtein with inserts/deletes only, normalized by len(a)+len(b)."""
+    if src == tar:
+        return 1.0
+    total = len(src) + len(tar)
+    if total == 0:
+        return 1.0
+    dist_abs = total - 2 * _lcs_len(src, tar)
+    return 1.0 - dist_abs / total
+
+
+def _disc_log(d: float) -> float:
+    return 1.0 / (log(1.0 + d / 5.0) + 1.0)
+
+
+def sim_discounted_levenshtein(src: str, tar: str) -> float:
+    """Levenshtein with log-discounted per-position costs, normalizer=max.
+
+    Position discounting starts from index 1 (discount_from=1); boundary
+    rows use 1-based positions while the inner loop uses 0-based positions,
+    matching the published implementation's indexing.
+    """
+    if src == tar:
+        return 1.0
+    src_len, tar_len = len(src), len(tar)
+    norm = max(
+        sum(_disc_log(max(0, p - 1)) for p in range(src_len)),
+        sum(_disc_log(max(0, p - 1)) for p in range(tar_len)),
+    )
+    if norm == 0:
+        return 1.0
+    if not src:
+        da = sum(_disc_log(max(0, p - 1)) for p in range(tar_len))
+        return 1.0 - da / norm
+    if not tar:
+        da = sum(_disc_log(max(0, p - 1)) for p in range(src_len))
+        return 1.0 - da / norm
+    prev = [0.0] * (tar_len + 1)
+    for j in range(1, tar_len + 1):
+        prev[j] = prev[j - 1] + _disc_log(max(0, j - 1))
+    row0 = 0.0
+    for i in range(src_len):
+        i_extend = _disc_log(max(0, i - 1))
+        cur = [row0 + _disc_log(max(0, (i + 1) - 1))]
+        row0 = cur[0]
+        cs = src[i]
+        for j in range(tar_len):
+            cost = min(i_extend, _disc_log(max(0, j - 1)))
+            best = prev[j] + (0.0 if cs == tar[j] else cost)
+            o1 = cur[j] + cost
+            if o1 < best:
+                best = o1
+            o2 = prev[j + 1] + cost
+            if o2 < best:
+                best = o2
+            cur.append(best)
+        prev = cur
+    return 1.0 - prev[-1] / norm
+
+
+def sim_jaro_winkler(src: str, tar: str, long_strings: bool = False,
+                     boost_threshold: float = 0.7,
+                     scaling_factor: float = 0.1) -> float:
+    """Jaro-Winkler similarity (character tokens of the stripped strings)."""
+    if src == tar:
+        return 1.0
+    s, t = src.strip(), tar.strip()
+    lens, lent = len(s), len(t)
+    if lens == 0 or lent == 0:
+        return 0.0
+    search_range = max(lens, lent)
+    minv = min(lens, lent)
+    src_flag = [False] * search_range
+    tar_flag = [False] * search_range
+    search_range = max(0, search_range // 2 - 1)
+    num_com = 0
+    yl1 = lent - 1
+    for i in range(lens):
+        low = i - search_range if i >= search_range else 0
+        hi = i + search_range if i + search_range <= yl1 else yl1
+        for j in range(low, hi + 1):
+            if not tar_flag[j] and t[j] == s[i]:
+                tar_flag[j] = True
+                src_flag[i] = True
+                num_com += 1
+                break
+    if num_com == 0:
+        return 0.0
+    k = n_trans = 0
+    for i in range(lens):
+        if src_flag[i]:
+            j = 0
+            for j in range(k, lent):
+                if tar_flag[j]:
+                    k = j + 1
+                    break
+            if s[i] != t[j]:
+                n_trans += 1
+    n_trans //= 2
+    weight = (num_com / lens + num_com / lent
+              + (num_com - n_trans) / num_com) / 3.0
+    if weight > boost_threshold:
+        j = 4 if minv >= 4 else minv
+        i = 0
+        while i < j and s[i] == t[i]:
+            i += 1
+        weight += i * scaling_factor * (1.0 - weight)
+        if (long_strings and minv > 4 and num_com > i + 1
+                and 2 * num_com >= minv + i):
+            weight += (1.0 - weight) * ((num_com - i - 1)
+                                        / (lens + lent - i * 2 + 2))
+    return weight
+
+
+def sim_lig3(src: str, tar: str) -> float:
+    """LIG3: 2*positional-matches / (2*matches + levenshtein cost)."""
+    if src == tar:
+        return 1.0
+    matches = 2 * sum(a == b for a, b in zip(src, tar))
+    cost = _lev_dist_abs(src, tar)
+    if matches + cost == 0:
+        return 0.0
+    return matches / (matches + cost)
+
+
+# ---------------------------------------------------------------------------
+# Block-move edit distances
+# ---------------------------------------------------------------------------
+
+
+def sim_tichy(src: str, tar: str) -> float:
+    """Tichy block-move edit distance, normalized by len(tar)."""
+    if src == tar:
+        return 1.0
+    src_len, tar_len = len(src), len(tar)
+    moves = adds = 0
+    q_pos = 0
+    while q_pos < tar_len:
+        # longest block of tar[q_pos:] found anywhere in src
+        length = 0
+        p_cur = 0
+        while p_cur + length <= src_len and q_pos + length <= tar_len:
+            length_cur = 0
+            while (p_cur + length_cur < src_len
+                   and q_pos + length_cur < tar_len
+                   and src[p_cur + length_cur] == tar[q_pos + length_cur]):
+                length_cur += 1
+            if length_cur > length:
+                length = length_cur
+            p_cur += 1
+        if length > 0:
+            moves += 1
+        else:
+            adds += 1
+        q_pos += max(1, length)
+    score = moves + adds
+    if score == 0 or tar_len == 0:
+        return 1.0
+    return 1.0 - score / tar_len
+
+
+def sim_cormode_lz(src: str, tar: str) -> float:
+    """CormodeLZ: LZ-parse of src against tar, dist=(pieces-1)/len(src)."""
+    edits = 0
+    pos = 0
+    span = 1
+    while max(pos + 1, pos + span) <= len(src):
+        if src[pos:pos + span] in tar or src[pos:pos + span] in src[:pos]:
+            span += 1
+        else:
+            edits += 1
+            pos += max(1, span - 1)
+            span = 1
+    num = (1 + edits) - 1
+    if num == 0:
+        return 1.0
+    return 1.0 - num / len(src)
+
+
+# ---------------------------------------------------------------------------
+# Subsequence distances
+# ---------------------------------------------------------------------------
+
+
+def sim_iterative_sub_string(src: str, tar: str, hamacher: float = 0.6) -> float:
+    """Iterative longest-common-substring peeling (Hadjieleftheriou/ISS)."""
+    input_src, input_tar = src, tar
+    src_len, tar_len = len(src), len(tar)
+    if src_len == 0 and tar_len == 0:
+        return 1.0
+    if src_len == 0 or tar_len == 0:
+        return 0.0
+
+    common = 0
+    best = 2
+    while src and tar and best != 0:
+        best = 0
+        ls, lt = len(src), len(tar)
+        start_src = end_src = start_tar = end_tar = 0
+        i = 0
+        while i < ls and ls - i > best:
+            j = 0
+            while lt - j > best:
+                k = i
+                while j < lt and src[k] != tar[j]:
+                    j += 1
+                if j != lt:
+                    p = j
+                    j += 1
+                    k += 1
+                    while j < lt and k < ls and src[k] == tar[j]:
+                        j += 1
+                        k += 1
+                    if k - i > best:
+                        best = k - i
+                        start_src, end_src = i, k
+                        start_tar, end_tar = p, j
+            i += 1
+        src = src[:start_src] + src[end_src:]
+        tar = tar[:start_tar] + tar[end_tar:]
+        if best > 2:
+            common += best
+        else:
+            best = 0
+
+    commonality = 2.0 * common / (src_len + tar_len)
+    idx = min(len(input_src), len(input_tar))
+    for i in range(min(len(input_src), len(input_tar))):
+        if input_src[i] != input_tar[i]:
+            idx = i
+            break
+    winkler_improvement = min(4.0, idx) * 0.1 * (1.0 - commonality)
+    unmatched_src = max(src_len - common, 0) / src_len
+    unmatched_tar = max(tar_len - common, 0) / tar_len
+    unmatched_prod = unmatched_src * unmatched_tar
+    dissimilarity = unmatched_prod / (
+        hamacher
+        + (1 - hamacher) * (unmatched_src + unmatched_tar - unmatched_prod)
+    )
+    corr = commonality - dissimilarity + winkler_improvement
+    return (corr + 1.0) / 2.0
+
+
+def sim_ratcliff_obershelp(src: str, tar: str) -> float:
+    """Ratcliff-Obershelp gestalt similarity 2M/(len_a+len_b).
+
+    Own recursive implementation (first-maximal LCS-substring tie-break in
+    row-major scan) rather than difflib, whose junk heuristics differ.
+    """
+    if src == tar:
+        return 1.0
+    if not src or not tar:
+        return 0.0
+
+    def lcsstr_stl(s: str, t: str) -> tuple[int, int, int]:
+        prev = [0] * (len(t) + 1)
+        longest = s_long = t_long = 0
+        for i in range(1, len(s) + 1):
+            cur = [0] * (len(t) + 1)
+            cs = s[i - 1]
+            for j in range(1, len(t) + 1):
+                if cs == t[j - 1]:
+                    v = prev[j - 1] + 1
+                    cur[j] = v
+                    if v > longest:
+                        longest, s_long, t_long = v, i, j
+            prev = cur
+        return s_long - longest, t_long - longest, longest
+
+    def matches(s: str, t: str) -> int:
+        s_start, t_start, length = lcsstr_stl(s, t)
+        if length == 0:
+            return 0
+        return (matches(s[:s_start], t[:t_start]) + length
+                + matches(s[s_start + length:], t[t_start + length:]))
+
+    return 2 * matches(src, tar) / (len(src) + len(tar))
+
+
+# ---------------------------------------------------------------------------
+# Multiset token metrics (padded 2-grams unless noted)
+# ---------------------------------------------------------------------------
+
+
+def sim_overlap(src: str, tar: str) -> float:
+    if src == tar:
+        return 1.0
+    st = _qstats(src, tar)
+    if not st.src_card or not st.tar_card:
+        return 0.0
+    return st.a / min(st.src_card, st.tar_card)
+
+
+def sim_weighted_jaccard(src: str, tar: str, weight: float = 3.0) -> float:
+    if src == tar:
+        return 1.0
+    st = _qstats(src, tar)
+    denom = weight * st.a + st.b + st.c
+    if denom == 0:
+        return 0.0
+    return weight * st.a / denom
+
+
+def sim_dice_asymmetric_i(src: str, tar: str) -> float:
+    if src == tar:
+        return 1.0
+    st = _qstats(src, tar)
+    if st.a == 0.0:
+        return 0.0
+    return st.a / st.src_card
+
+
+def sim_token_distance(src: str, tar: str) -> float:
+    """Generic multiset sim: 1 - (b+c)/|X ∪ Y| over padded 2-grams."""
+    st = _qstats(src, tar)
+    if st.union == 0:
+        return 0.0
+    return 1.0 - (st.b + st.c) / st.union
+
+
+def sim_baulieu_xiii(src: str, tar: str) -> float:
+    # BaulieuXIII inherits the generic union-formula sim in the reference
+    # (its dist() is never called through sim()).
+    return sim_token_distance(src, tar)
+
+
+def sim_bag(src: str, tar: str) -> float:
+    """Union-formula sim over *character* multisets (Bag's tokenizer)."""
+    st = TokenStats(char_counter(src), char_counter(tar), None)
+    if st.union == 0:
+        return 0.0
+    return 1.0 - (st.b + st.c) / st.union
+
+
+def sim_kuhns_iii(src: str, tar: str) -> float:
+    # no equality shortcut: the reference computes corr even for src==tar
+    # (its own golden test expects 3067/3100, not 1.0, for equal strings)
+    st = _qstats(src, tar)
+    a, b, c = st.a, st.b, st.c
+    n = st.pop_unique
+    apbmapc = (a + b) * (a + c)
+    delta_ab = a if not apbmapc else a - apbmapc / n
+    if not delta_ab:
+        corr = 0.0
+    else:
+        corr = delta_ab / ((1 - a / (2 * a + b + c))
+                           * (2 * a + b + c - (a + b) * (a + c) / n))
+    return (1 / 3 + corr) / (4 / 3)
+
+
+def sim_clement(src: str, tar: str) -> float:
+    if src == tar:
+        return 1.0
+    st = _qstats(src, tar)
+    a, b, c, d = st.a, st.b, st.c, st.d
+    n = st.pop_unique
+    score = 0.0
+    if a + b:
+        score += (a / (a + b)) * (1 - (a + b) / n)
+    if c + d:
+        score += (d / (c + d)) * (1 - (c + d) / n)
+    return score
+
+
+def sim_pearson_ii(src: str, tar: str) -> float:
+    if src == tar:
+        return (2 ** 0.5 / 2) * 2 / 2 ** 0.5  # == 1.0
+    st = _qstats(src, tar)
+    a, b, c, d = st.a, st.b, st.c, st.d
+    n = st.pop_unique
+    ab, ac = st.src_card, st.tar_card
+    if not src or not tar:
+        chi2 = 0.0
+    else:
+        num = n * (a * d - b * c) ** 2
+        chi2 = num / (ab * ac * (b + d) * (c + d)) if num else 0.0
+    score = (chi2 / (n + chi2)) ** 0.5
+    return score * 2 / 2 ** 0.5
+
+
+def sim_warrens_iv(src: str, tar: str) -> float:
+    if src == tar:
+        return 1.0
+    st = _qstats(src, tar)
+    a, b, c, d = st.a, st.b, st.c, st.d
+    atd = a * d
+    if atd:
+        return (4 * atd) / (4 * atd + (a + d) * (b + c))
+    return 0.0
+
+
+def sim_rouge_l(src: str, tar: str, beta: float = 8.0) -> float:
+    if src == tar:
+        return 1.0
+    if not src or not tar:
+        return 0.0
+    lcs_len = _lcs_len(src, tar)
+    r_lcs = lcs_len / len(src)
+    p_lcs = lcs_len / len(tar)
+    if r_lcs and p_lcs:
+        bsq = beta * beta
+        return (1 + bsq) * r_lcs * p_lcs / (r_lcs + bsq * p_lcs)
+    return 0.0
+
+
+# ---------------------------------------------------------------------------
+# Compression
+# ---------------------------------------------------------------------------
+
+
+def sim_ncd_bz2(src: str, tar: str, level: int = 9) -> float:
+    if src == tar:
+        return 1.0
+    sb, tb = src.encode("utf-8"), tar.encode("utf-8")
+    src_comp = bz2.compress(sb, level)[10:]
+    tar_comp = bz2.compress(tb, level)[10:]
+    cat = bz2.compress(sb + tb, level)[10:]
+    cat2 = bz2.compress(tb + sb, level)[10:]
+    dist = (min(len(cat), len(cat2)) - min(len(src_comp), len(tar_comp))) \
+        / max(len(src_comp), len(tar_comp))
+    return 1.0 - dist
+
+
+# ---------------------------------------------------------------------------
+# FuzzyWuzzy (difflib SequenceMatcher, same engine the reference uses)
+# ---------------------------------------------------------------------------
+
+
+def sim_fuzzy_wuzzy_token_sort(src: str, tar: str) -> float:
+    s = " ".join(sorted(regexp_tokens(src)))
+    t = " ".join(sorted(regexp_tokens(tar)))
+    return SequenceMatcher(None, s, t).ratio()
+
+
+def sim_fuzzy_wuzzy_partial_string(src: str, tar: str) -> float:
+    max_sim = 0.0
+    start = 0
+    if len(src) > len(tar):
+        src, tar = tar, src
+    src_len = len(src)
+    while max_sim < 1.0 and start < len(tar) - src_len + 1:
+        r = SequenceMatcher(None, src, tar[start:start + src_len]).ratio()
+        if r > max_sim:
+            max_sim = r
+        start += 1
+    return max_sim
+
+
+def sim_fuzzy_wuzzy_token_set(src: str, tar: str) -> float:
+    src_tok = set(regexp_tokens(src))
+    tar_tok = set(regexp_tokens(tar))
+    inter = src_tok & tar_tok
+    src_tok -= inter
+    tar_tok -= inter
+    # NOTE: the trailing space after the joined intersection is a quirk of
+    # the published algorithm, preserved byte-for-byte.
+    inter_s = " ".join(sorted(inter)) + " "
+    s = inter_s + " ".join(sorted(src_tok))
+    t = inter_s + " ".join(sorted(tar_tok))
+    return max(
+        SequenceMatcher(None, s, inter_s).ratio(),
+        SequenceMatcher(None, inter_s, t).ratio(),
+        SequenceMatcher(None, s, t).ratio(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Editex (Zobel & Dart phonetic-group edit distance)
+# ---------------------------------------------------------------------------
+
+_EDITEX_GROUPS = (
+    frozenset("AEIOUY"), frozenset("BP"), frozenset("CKQ"), frozenset("DT"),
+    frozenset("LR"), frozenset("MN"), frozenset("GJ"), frozenset("FPV"),
+    frozenset("SXZ"),
+)
+_EDITEX_LETTERS = frozenset("ABCDEFGIJKLMNOPQRSTUVXYZ")
+
+
+def _editex_r(c1: str, c2: str, group_cost: int, mismatch: int) -> int:
+    if c1 == c2:
+        return 0
+    if c1 in _EDITEX_LETTERS and c2 in _EDITEX_LETTERS:
+        for g in _EDITEX_GROUPS:
+            if c1 in g and c2 in g:
+                return group_cost
+    return mismatch
+
+
+def _editex_d(c1: str, c2: str, group_cost: int, mismatch: int) -> int:
+    if c1 != c2 and (c1 == "H" or c1 == "W"):
+        return group_cost
+    return _editex_r(c1, c2, group_cost, mismatch)
+
+
+def sim_editex(src: str, tar: str, group_cost: int = 1,
+               mismatch_cost: int = 2) -> float:
+    if src == tar:
+        return 1.0
+    raw_src_len, raw_tar_len = len(src), len(tar)
+    norm = max(raw_src_len * mismatch_cost, raw_tar_len * mismatch_cost)
+    if norm == 0:
+        return 1.0
+    s = unicodedata.normalize("NFKD", src.upper())
+    t = unicodedata.normalize("NFKD", tar.upper())
+    if s == t:
+        return 1.0
+    if not s:
+        return 1.0 - (mismatch_cost * len(t)) / norm
+    if not t:
+        return 1.0 - (mismatch_cost * len(s)) / norm
+    src_len, tar_len = len(s), len(t)
+    s = " " + s
+    t = " " + t
+    prev = [0.0] * (tar_len + 1)
+    for j in range(1, tar_len + 1):
+        prev[j] = prev[j - 1] + _editex_d(t[j - 1], t[j], group_cost,
+                                          mismatch_cost)
+    row0 = 0.0
+    for i in range(1, src_len + 1):
+        del_cost = _editex_d(s[i - 1], s[i], group_cost, mismatch_cost)
+        cur = [row0 + del_cost]
+        row0 = cur[0]
+        for j in range(1, tar_len + 1):
+            ins_cost = _editex_d(t[j - 1], t[j], group_cost, mismatch_cost)
+            best = cur[j - 1] + ins_cost
+            o = prev[j] + del_cost
+            if o < best:
+                best = o
+            o = prev[j - 1] + _editex_r(s[i], t[j], group_cost, mismatch_cost)
+            if o < best:
+                best = o
+            cur.append(best)
+        prev = cur
+    return 1.0 - prev[-1] / norm
+
+
+# ---------------------------------------------------------------------------
+# Phonetic: refined soundex codes compared by normalized levenshtein
+# ---------------------------------------------------------------------------
+
+_RS_TRANS = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01360240043788015936020505")
+_RS_ALPHA = str.maketrans("123456789", "PFKGZTLNR")
+_AZ = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+@lru_cache(maxsize=65536)
+def refined_soundex_alpha(word: str, max_length: int = 30) -> str:
+    """Refined Soundex code, alphabetic form, per the published algorithm."""
+    w = unicodedata.normalize("NFKD", word.upper())
+    w = "".join(c for c in w if c in _AZ)
+    sdx = w[:1] + w[1:].translate(_RS_TRANS)
+    # delete consecutive repeats
+    out = []
+    for ch in sdx:
+        if not out or out[-1] != ch:
+            out.append(ch)
+    sdx = "".join(out).replace("0", "")
+    if max_length > 0:
+        sdx = sdx[:max_length]
+    code = sdx.rstrip("0")
+    return code[:1] + code[1:].translate(_RS_ALPHA)
+
+
+def sim_refined_soundex(src: str, tar: str) -> float:
+    cs, ct = refined_soundex_alpha(src), refined_soundex_alpha(tar)
+    if cs == ct:
+        return 1.0
+    denom = max(len(cs), len(ct))
+    if denom == 0:
+        return 1.0
+    return 1.0 - _lev_dist_abs(cs, ct) / denom
+
+
+# ---------------------------------------------------------------------------
+# Registry (mirrors reference make_distance_metrics group/order semantics)
+# ---------------------------------------------------------------------------
+
+# (registry_name, group, function) in the reference's if-chain order
+# (distance_metrics.py:257-431).  Group key first-insertion order defines
+# score-matrix column order.
+_METRIC_TABLE = [
+    ("indel", "Levenshtein", sim_indel),
+    ("discounted_levenshtein", "Levenshtein", sim_discounted_levenshtein),
+    ("levenshtein", "Levenshtein", sim_levenshtein),
+    ("jaro_winkler", "Levenshtein", sim_jaro_winkler),
+    ("cormodel_z", "block", sim_cormode_lz),
+    ("tichy", "block", sim_tichy),
+    ("iterative_sub_string", "Subsequence", sim_iterative_sub_string),
+    ("baulieu_xiii", "multiset", sim_baulieu_xiii),
+    ("clement", "multiset", sim_clement),
+    ("dice_asymmetrici", "multiset", sim_dice_asymmetric_i),
+    ("kuhns_iii", "multiset", sim_kuhns_iii),
+    ("overlap", "multiset", sim_overlap),
+    ("pearson_ii", "multiset", sim_pearson_ii),
+    ("weighted_jaccard", "multiset", sim_weighted_jaccard),
+    ("warrens_iv", "multiset", sim_warrens_iv),
+    ("bag", "multiset", sim_bag),
+    ("rouge_l", "multiset", sim_rouge_l),
+    ("token_distance", "multiset", sim_token_distance),
+    ("ratcliff_obershelp", "Subsequence", sim_ratcliff_obershelp),
+    ("ncd_bz2", "compression", sim_ncd_bz2),
+    ("fuzzy_wuzzy_partial_string", "fuzzy", sim_fuzzy_wuzzy_partial_string),
+    ("fuzzy_wuzzy_token_sort", "fuzzy", sim_fuzzy_wuzzy_token_sort),
+    ("fuzzy_wuzzy_token_set", "fuzzy", sim_fuzzy_wuzzy_token_set),
+    ("editex", "edit", sim_editex),
+    ("lig_3", "Levenshtein", sim_lig3),
+    ("refined_soundex", "phonetic", sim_refined_soundex),
+]
+
+METRIC_FUNCTIONS = {name: fn for name, _, fn in _METRIC_TABLE}
+
+# Not yet implemented from the reference's full surface; documented gaps.
+UNIMPLEMENTED_METRICS = ("typo", "ssk", "double_metaphone")
+
+DEFAULT_METRICS = (
+    "overlap",
+    "weighted_jaccard",
+    "ratcliff_obershelp",
+    "fuzzy_wuzzy_token_sort",
+    "editex",
+)
+
+
+def make_metric_registry(metrics=DEFAULT_METRICS) -> dict[str, list]:
+    """Group -> [sim functions], in reference registry order.
+
+    Accepts an iterable of metric names (case-insensitive).  Raises on
+    unknown names, like the reference's TypeError path.
+    """
+    wanted = {str(m).lower() for m in metrics}
+    unknown = wanted - set(METRIC_FUNCTIONS) - set(UNIMPLEMENTED_METRICS)
+    if unknown:
+        raise TypeError(f"Unknown distance metrics: {sorted(unknown)}")
+    missing = wanted & set(UNIMPLEMENTED_METRICS)
+    if missing:
+        raise NotImplementedError(
+            f"Metrics not yet ported: {sorted(missing)}")
+    registry: dict[str, list] = {}
+    for name, group, fn in _METRIC_TABLE:
+        if name in wanted:
+            registry.setdefault(group, []).append(fn)
+    return registry
+
+
+def flat_metric_fns(metrics=DEFAULT_METRICS) -> list:
+    """Flattened metric functions in score-matrix column order."""
+    registry = make_metric_registry(metrics)
+    return [fn for fns in registry.values() for fn in fns]
+
+
+def score_pair(src: str, tar: str, fns) -> list[float]:
+    """Score one (src, tar) pair under every metric in ``fns``."""
+    return [fn(str(src), str(tar)) for fn in fns]
