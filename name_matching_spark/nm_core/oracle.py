@@ -1,0 +1,129 @@
+"""Dependency-free end-to-end oracle of the reference matching semantics.
+
+Mirrors ``NameMatcher.match_names`` (default configuration path,
+/root/reference/name_matching/name_matcher.py:646-792) and the ``run_nm``
+driver shape (exact-merge short-circuit + fuzzy remainder + threshold,
+run_nm.py:264-380) in pure Python/NumPy.  The Spark pipeline is compared
+against this oracle row-by-row; the oracle itself is validated against the
+reference's published golden values (tests/test_metrics_golden.py and the
+500-name corpus accuracy anchor).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .metrics import DEFAULT_METRICS, flat_metric_fns
+from .preprocess import (
+    PreprocessConfig,
+    common_word_set,
+    legal_word_set,
+    light_preprocess_name,
+    preprocess_name,
+    strip_words,
+)
+from .tfidf import TfidfOracle
+
+
+@dataclass
+class OracleMatch:
+    query_id: int
+    original_name: str
+    match_id: int | None
+    match_name: str | None
+    score: float
+
+
+class OracleMatcher:
+    """Pure-Python equivalent of NameMatcher (1:N best match)."""
+
+    def __init__(
+        self,
+        top_n: int = 50,
+        metrics=DEFAULT_METRICS,
+        cfg: PreprocessConfig = PreprocessConfig(),
+        legal_suffixes: bool = False,
+        common_words: bool = False,
+        cut_off: float = 0.01,
+    ):
+        self.top_n = top_n
+        self.fns = flat_metric_fns(metrics)
+        self.cfg = cfg
+        self._legal_suffixes = legal_suffixes
+        self._common_words = common_words
+        self._cut_off = cut_off
+        self.word_set: set[str] = set()
+        self.master_names: list[str] = []
+        self.oracle = TfidfOracle()
+
+    def load_master(self, names: list[str]) -> None:
+        self.master_names = [preprocess_name(n, self.cfg) for n in names]
+        if self._legal_suffixes:
+            self.word_set |= legal_word_set()
+        if self._common_words:
+            self.word_set |= common_word_set(self.master_names, self._cut_off)
+        self.oracle.fit_master(self.master_names)
+
+    def _score(self, query: str, cand_names: list[str]) -> list[float]:
+        """Mean metric score per candidate."""
+        means = []
+        for c in cand_names:
+            scores = [fn(str(query), str(c)) for fn in self.fns]
+            means.append(sum(scores) / len(scores))
+        return means
+
+    def match(self, query_names: list[str]) -> list[OracleMatch]:
+        queries = [preprocess_name(n, self.cfg) for n in query_names]
+        cand_lists = self.oracle.top_n(queries, self.top_n)
+        out: list[OracleMatch] = []
+        for qid, (q, cands) in enumerate(zip(queries, cand_lists)):
+            if not cands:
+                out.append(OracleMatch(qid, q, None, None, 0.0))
+                continue
+            cand_ids = [m for m, _ in cands]
+            cand_names = [self.master_names[m] for m in cand_ids]
+            means = self._score(q, cand_names)
+            # argmax, ties by first occurrence (candidates are ordered by
+            # cosine desc / id asc, making the winner deterministic)
+            best = max(range(len(means)), key=lambda i: (means[i], -i))
+            score = 100.0 * means[best]
+            match_id, match_name = cand_ids[best], cand_names[best]
+            if self.word_set:
+                # postprocess: rescore winner on word-stripped names
+                q2 = strip_words(q, self.word_set)
+                c2 = strip_words(match_name, self.word_set)
+                scores = [fn(q2, c2) for fn in self.fns]
+                score = 100.0 * sum(scores) / len(scores)
+            out.append(OracleMatch(qid, q, match_id, match_name, score))
+        return out
+
+
+def run_nm_oracle(
+    names_a: list[str],
+    names_b: list[str],
+    threshold: float = 95.0,
+    **matcher_kwargs,
+) -> dict[int, tuple[int, float]]:
+    """run_nm.match_names-shaped oracle: light preprocess, exact-merge
+    short-circuit (score 100), fuzzy match of the remainder, threshold.
+
+    Returns {a_id: (b_id, score)} for rows above threshold."""
+    a = [light_preprocess_name(n) for n in names_a]
+    b = [light_preprocess_name(n) for n in names_b]
+    b_index: dict[str, int] = {}
+    for i, n in enumerate(b):
+        b_index.setdefault(n, i)  # first match wins on duplicates
+    result: dict[int, tuple[int, float]] = {}
+    unmatched: list[int] = []
+    for i, n in enumerate(a):
+        if n in b_index:
+            result[i] = (b_index[n], 100.0)
+        else:
+            unmatched.append(i)
+    if unmatched:
+        m = OracleMatcher(**matcher_kwargs)
+        m.load_master(b)
+        for i, om in zip(unmatched, m.match([a[i] for i in unmatched])):
+            if om.match_id is not None:
+                result[i] = (om.match_id, om.score)
+    return {i: (j, s) for i, (j, s) in result.items() if s > threshold}

@@ -1,0 +1,261 @@
+"""Name-normalization kernel (reference semantics, pure Python).
+
+Replicates the preprocessing pipeline of the reference engine
+(/root/reference/name_matching/name_matcher.py:1125-1176 ``preprocess``,
+:1095-1123 ``unicode_to_ascii``, :269-458 legal/common replacement rules,
+/root/reference/name_matching/run_nm.py:50-103 light preprocess) as pure
+string -> string functions.  These are used identically by the Spark pandas
+UDFs and by the local oracle, so both sides are byte-identical per row.
+
+Pipeline order (NameMatcher.preprocess):
+  1. non-word chars ([^\\w\\-\\&\\#]) -> space, whitespace collapse, strip
+  2. transliterate to ASCII (NFD + map + drop combining marks + ascii-encode)
+  3. lowercase
+  4. legal pre/suffix abbreviation (optional)
+  5. common-word abbreviation (optional)
+  6. step 1 again
+The pipeline is idempotent (the reference applies it twice on one path).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+from .data import TRANSLITERATION_MAP, common_words, legal_forms
+
+_NON_WORD_RE = re.compile(r"[^\w\-\&\#]")
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def clean_non_word(name: str) -> str:
+    """Non-word chars (keeping - & #) to space; collapse whitespace; strip."""
+    return _WS_RE.sub(" ", _NON_WORD_RE.sub(" ", name)).strip()
+
+
+def unicode_to_ascii(text: str) -> str:
+    """NFD-decompose, map special chars, drop combining marks, ASCII-encode."""
+    normalized = unicodedata.normalize("NFD", text)
+    return (
+        "".join(
+            TRANSLITERATION_MAP.get(ch, ch)
+            for ch in normalized
+            if unicodedata.category(ch) != "Mn"
+        )
+        .encode("ascii", "ignore")
+        .decode()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replacement-rule machinery (legal suffixes / common words)
+# ---------------------------------------------------------------------------
+
+
+def _generate_combinations(list_a: list[str], list_b: list[str]) -> list[list[str]]:
+    """All element-wise choices between two aligned lists (2^n options)."""
+    results: list[list[str]] = []
+
+    def rec(a: list[str], b: list[str], ind: int, acc: list[str]) -> None:
+        if ind == len(a):
+            results.append(acc)
+            return
+        rec(a, b, ind + 1, acc + [a[ind]])
+        rec(b, a, ind + 1, acc + [b[ind]])
+
+    rec(list_a, list_b, 0, [])
+    return results
+
+
+def _combine_legal_words(abbr: list[str], lgl: list[str]) -> list[str]:
+    """Regroup full-name words so they align 1:1 with abbreviation parts."""
+    ind = 0
+    new_lgl: list[str] = []
+    combined = ""
+    for letter in abbr:
+        while ind < len(lgl) and not lgl[ind].startswith(letter):
+            combined += " " + lgl[ind]
+            ind += 1
+        if ind < len(lgl) and lgl[ind].startswith(letter):
+            if combined:
+                new_lgl.append(combined.strip())
+            combined = lgl[ind]
+            ind += 1
+    if combined:
+        new_lgl.append(combined.strip())
+    return new_lgl
+
+
+def expand_legal_rules(
+    forms: list[tuple[str, str]] | None = None,
+    non_word_characters: bool = True,
+) -> list[tuple[str, str]]:
+    """Expand (abbreviation, full_name) pairs into an ordered replacement
+    rule list [(abbreviation, variant_long_form), ...].
+
+    For each pair, every element-wise mixture of abbreviation parts and
+    full-name words is generated (so "besloten vennootschap"/"b.v." also
+    matches "b vennootschap" and "besloten v"), plus the concatenated
+    abbreviation itself ("bv").  Rule order preserves input order, which the
+    replacement pass depends on.
+    """
+    rules: list[tuple[str, str]] = []
+    for abbreviation, full_name in (forms if forms is not None else legal_forms()):
+        abbr = [p for p in re.split(r"[. /]", abbreviation.strip().lower()) if p]
+        lgl = full_name.lower().strip().split(" ")
+        if len(abbr) == len(lgl):
+            options: list = _generate_combinations(abbr, lgl)
+        elif len(abbr) < len(lgl):
+            new_lgl = _combine_legal_words(abbr, lgl)
+            if len(new_lgl) == len(abbr):
+                options = _generate_combinations(abbr, new_lgl)
+            else:
+                options = [full_name]
+        else:
+            options = [full_name]
+        options.append("".join(abbr))
+        for option in options:
+            text = option.strip() if isinstance(option, str) \
+                else " ".join(option).strip()
+            rules.append((abbreviation.lower(), text))
+            if not non_word_characters and not isinstance(option, str):
+                rules.append((abbreviation.lower(),
+                              ".".join(option).strip() + "."))
+    return rules
+
+
+def replace_rules(
+    name: str,
+    rules: list[tuple[str, str]],
+    begin_end: bool = True,
+    delete: bool = False,
+) -> str:
+    """Apply (abbreviation, long_form) rules in order.
+
+    begin_end=True replaces only at string start/end (legal suffix mode);
+    begin_end=False replaces every whole-word occurrence (common-word mode).
+    """
+    if delete:
+        rules = sorted(rules, key=lambda r: len(r[1]), reverse=True)
+    if begin_end:
+        for abbreviation, long_name in rules:
+            if name.startswith(long_name) or name.endswith(long_name):
+                repl = "" if delete else abbreviation
+                name = re.sub(rf"\b{long_name}$", repl, name)
+                name = re.sub(rf"^{long_name}\b", repl, name)
+    else:
+        for abbreviation, long_name in rules:
+            if long_name in name:
+                repl = "" if delete else abbreviation
+                name = re.sub(rf"\b{long_name}\b", repl, name)
+    return name
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Preprocessing flags, mirroring NameMatcher's constructor defaults."""
+
+    lowercase: bool = True
+    non_word_characters: bool = True
+    remove_ascii: bool = True
+    preprocess_legal: bool = False
+    delete_legal: bool = False
+    make_abbreviations: bool = True
+    begin_end_legal: bool = True
+    legal_rules: tuple = field(default=None)
+    common_rules: tuple = field(default=None)
+
+    def resolved_legal_rules(self) -> list[tuple[str, str]]:
+        if self.legal_rules is not None:
+            return list(self.legal_rules)
+        return expand_legal_rules(non_word_characters=self.non_word_characters)
+
+    def resolved_common_rules(self) -> list[tuple[str, str]]:
+        if self.common_rules is not None:
+            return list(self.common_rules)
+        return common_words()
+
+
+@lru_cache(maxsize=8)
+def _compiled_rules(cfg: PreprocessConfig):
+    return cfg.resolved_legal_rules(), cfg.resolved_common_rules()
+
+
+def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> str:
+    """Full NameMatcher-style normalization of one name (idempotent)."""
+    name = str(name)
+    if cfg.non_word_characters:
+        name = clean_non_word(name)
+    if cfg.remove_ascii:
+        name = unicode_to_ascii(name)
+    if cfg.lowercase:
+        name = name.lower()
+    if cfg.preprocess_legal or cfg.make_abbreviations:
+        legal_rules, common_rules = _compiled_rules(cfg)
+        if cfg.preprocess_legal:
+            name = replace_rules(name, legal_rules,
+                                 begin_end=cfg.begin_end_legal,
+                                 delete=cfg.delete_legal)
+        if cfg.make_abbreviations:
+            name = replace_rules(name, common_rules, begin_end=False)
+    if cfg.non_word_characters:
+        name = clean_non_word(name)
+    return name
+
+
+def light_preprocess_name(
+    name: str,
+    case_sensitive: bool = False,
+    punctuation_sensitive: bool = False,
+    special_character_sensitive: bool = False,
+) -> str:
+    """run_nm-style light normalization used before the exact-match join
+    (run_nm.py:50-103): lower+strip, strip punctuation, NFKD-ascii."""
+    name = str(name)
+    if not case_sensitive:
+        name = name.lower().strip()
+    if not punctuation_sensitive:
+        name = _PUNCT_RE.sub("", name)
+    if not special_character_sensitive:
+        name = unicodedata.normalize("NFKD", name) \
+            .encode("ascii", "ignore").decode()
+    return name
+
+
+# ---------------------------------------------------------------------------
+# No-scoring word sets (postprocess)
+# ---------------------------------------------------------------------------
+
+
+def legal_word_set(forms: list[tuple[str, str]] | None = None) -> set[str]:
+    """Abbreviations used as no-scoring words (name_matcher.py:1199-1218)."""
+    return {a for a, _ in (forms if forms is not None else legal_forms())}
+
+
+def common_word_set(names: list[str], cut_off: float = 0.01) -> set[str]:
+    """Words occurring more than cut_off * max-count across names
+    (name_matcher.py:1220-1246)."""
+    counts: dict[str, int] = {}
+    for n in names:
+        for w in str(n).split():
+            counts[w] = counts.get(w, 0) + 1
+    if not counts:
+        return set()
+    mx = max(counts.values())
+    return {w for w, c in counts.items() if c > mx * cut_off}
+
+
+def strip_words(name: str, word_set: set[str]) -> str:
+    """Remove whole-word occurrences of word_set from name, collapse spaces
+    (name_matcher.py:937-962)."""
+    for word in word_set:
+        name = " ".join(re.sub(rf"\b{re.escape(word)}\b", "", name).split())
+    return name
