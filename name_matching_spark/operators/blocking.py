@@ -1,0 +1,96 @@
+"""Candidate generation: sparse-cosine top-N as an inverted-index join.
+
+Replaces the reference's scipy sparse matmul + argpartition blocker
+(/root/reference/name_matching/sparse_cosine.py:58-179) with the idiomatic
+Spark plan:
+
+    Q(group, qid, ngram, wq)  ⋈ngram  M(group, ngram, mid, wm)
+      -> partial products -> groupBy(qid, mid).sum  (map-side combine)
+      -> per-qid top-k window (rewritten by Catalyst to WindowGroupLimit,
+         a bounded per-partition heap -- no full sort)
+
+Scale levers (100 TB thinking):
+* ``df_cap_frac`` drops n-grams whose document frequency exceeds a fraction
+  of the group's documents from the *join only*.  Hot n-grams ("an", " b")
+  dominate join output but contribute tiny idf weight; capping them bounds
+  the worst posting list length, which is THE skew knob for this join.
+  Cosine contributions lost are bounded by the capped grams' idf mass.
+* AQE skew-join splitting handles residual skew in the shuffle.
+* Ties broken (cosine DESC, mid ASC) so candidate sets are deterministic
+  (the reference's np.argpartition keeps an arbitrary tie subset;
+  sparse_cosine.py:113-124 -- divergence resolved at the label level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tfidf import GROUP_COL
+
+
+def cap_hot_ngrams(weights: DataFrame, idf: DataFrame,
+                   df_cap_frac: float | None) -> DataFrame:
+    """Drop n-grams with df > df_cap_frac * n_docs from a weights table."""
+    if df_cap_frac is None:
+        return weights
+    keep = idf.filter(
+        F.col("df") <= F.col("n_docs") * F.lit(df_cap_frac)
+    ).select(GROUP_COL, "ngram")
+    return weights.join(F.broadcast(keep), [GROUP_COL, "ngram"], "left_semi")
+
+
+def cosine_top_n(
+    query_w: DataFrame,
+    master_w: DataFrame,
+    top_n: int = 50,
+    idf: DataFrame | None = None,
+    df_cap_frac: float | None = None,
+) -> DataFrame:
+    """-> (group, qid, mid, cosine, rank) with rank <= top_n per qid.
+
+    query_w/master_w: (group, id, ngram, weight) long-form matrices.
+    """
+    if df_cap_frac is not None and idf is not None:
+        query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
+        master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
+
+    q = query_w.select(
+        GROUP_COL, F.col("id").alias("qid"), "ngram",
+        F.col("weight").alias("wq"))
+    m = master_w.select(
+        GROUP_COL, F.col("id").alias("mid"), "ngram",
+        F.col("weight").alias("wm"))
+    pairs = (
+        q.join(m, [GROUP_COL, "ngram"])
+        .groupBy(GROUP_COL, "qid", "mid")
+        .agg(F.sum(F.col("wq") * F.col("wm")).alias("cosine"))
+    )
+    w = Window.partitionBy(GROUP_COL, "qid").orderBy(
+        F.col("cosine").desc(), F.col("mid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salted hash-partitioned equi-join for skewed block keys.
+
+    The big side gets a deterministic salt from its whole row hash; the
+    small side is replicated ``salt`` ways, so one hot key spreads over
+    ``salt`` shuffle partitions.  Use when a blocking key is pathologically
+    hot and AQE's skew splitting is not available (e.g. bucketed writes).
+    """
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                         F.lit(salt)).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")
