@@ -205,7 +205,10 @@ def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> st
                                  begin_end=cfg.begin_end_legal,
                                  delete=cfg.delete_legal)
         if cfg.make_abbreviations:
-            name = replace_rules(name, common_rules, begin_end=False)
+            # common rules are stored (word, short_form); replace_rules
+            # expects (replacement, matched_text)
+            name = replace_rules(
+                name, [(sf, w) for w, sf in common_rules], begin_end=False)
     if cfg.non_word_characters:
         name = clean_non_word(name)
     return name
