@@ -1,0 +1,138 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+Brute-force cosine top-k (correctness baseline; one broadcast join, JVM-side
+zip_with dot products) and an LSH-bucketed variant (random-hyperplane signs,
+the scale path: candidates only within matching sign-buckets, so the shuffle
+is bucket-local instead of a full cross join).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def _as_double_array(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "qid", qvec_col: str = "qvec",
+) -> DataFrame:
+    """-> (qid, vec_id, rank): exact cosine top-k per query.
+
+    queries is expected to be small (broadcast side); ranking excludes
+    nothing, ties break on vec_id ascending.
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       _as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _as_double_array(F.col(qvec_col)).alias("qv"))
+    scored = v.join(F.broadcast(q)).withColumn(
+        "cosine", _cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5 bits."""
+    out = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        for b in range(0, 16, 4):
+            u = int.from_bytes(h[b:b + 4], "big") / 2 ** 32
+            out.append(2.0 * u - 1.0)
+            if len(out) == dim:
+                break
+        i += 1
+    norm = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / norm for x in out]
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "qid", qvec_col: str = "qvec",
+    dim: int = 64, num_planes: int = 6, num_tables: int = 4,
+) -> DataFrame:
+    """-> (qid, vec_id, rank): approximate top-k via random-hyperplane LSH.
+
+    num_tables independent sign-signatures of num_planes bits each; a vector
+    is a candidate if it lands in the same bucket as the query in ANY table.
+    Recall improves with num_tables; cost scales with bucket occupancy
+    (n / 2^num_planes per table) instead of n.
+    """
+    def sig_col(vcol, table):
+        bits = []
+        for p in range(num_planes):
+            plane = _hyperplane(table * 1000 + p, dim)
+            dot = F.aggregate(
+                F.zip_with(vcol,
+                           F.array(*[F.lit(x) for x in plane]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(F.lit(f"t{table}:"), *bits)
+
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       _as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _as_double_array(F.col(qvec_col)).alias("qv"))
+    v_b = v.select(
+        "vec_id", "v",
+        F.explode(F.array(*[sig_col(F.col("v"), t)
+                            for t in range(num_tables)])).alias("bucket"))
+    q_b = q.select(
+        "qid", "qv",
+        F.explode(F.array(*[sig_col(F.col("qv"), t)
+                            for t in range(num_tables)])).alias("bucket"))
+    cand = (
+        v_b.join(q_b, "bucket")
+        .select("qid", "qv", "vec_id", "v").distinct()
+        .withColumn("cosine", _cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    )
+
+
+def embedding_near_dups(vectors: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        min_cosine: float = 0.95) -> DataFrame:
+    """-> (id_a, id_b, cosine): all-pairs cosine near-duplicates.
+
+    Quadratic verify -- use only downstream of an LSH candidate pass at
+    scale; kept exact here as the dedup oracle baseline."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       _as_double_array(F.col(vec_col)).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,142 @@
+"""Training-data operators: dedup, textstats, ANN, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators import ann, dedup, multimodal, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different text about spark engines"),
+    (4, "de snelle bruine vos springt over de luie hond met een"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert {(r["id"], r["keeper_id"]) for r in rows} == {(0, 0), (2, 0)}
+
+
+def test_word_shingles(docs):
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    got = {r["shingle"] for r in sh.filter(F.col("id") == 0).collect()}
+    assert "the quick brown" in got and "the lazy dog" in got
+    assert len(got) == 7  # 9 words -> 7 shingles, all distinct
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_dedup(docs, "doc_id", "text",
+                                    num_hashes=16, bands=8,
+                                    min_jaccard=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got  # exact dup always caught
+    assert (0, 1) in got  # one-word change, high jaccard
+    assert all(3 not in p for p in got)
+
+
+def test_shingle_jaccard_values(docs):
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.shingle_jaccard(sh).collect()}
+    assert j[(0, 2)] == pytest.approx(1.0)
+    # docs 0/1 differ in last word: 6 of 7 shingles shared -> 6/8
+    assert j[(0, 1)] == pytest.approx(6 / 8)
+
+
+def test_simhash_near_dups(docs):
+    got = dedup.simhash_near_dups(docs, "doc_id", "text",
+                                  max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in got}
+    assert pairs[(0, 2)] == 0  # identical docs collide exactly
+    # near-dup pair (0,1) is closer in simhash space than unrelated (0,3)
+    sh = {r["id"]: r["simhash"]
+          for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1")
+    assert ham(0, 1) < ham(0, 3)
+
+
+def test_lang_id(docs):
+    got = {r["id"]: r["lang_pred"]
+           for r in textstats.lang_id(docs, "doc_id", "text").collect()}
+    assert got[0] == "en"
+    assert got[4] == "nl"
+
+
+def test_token_counts(docs):
+    got = {r["id"]: r for r in
+           textstats.token_counts(docs, "doc_id", "text").collect()}
+    assert got[0]["ws_tokens"] == 9
+    assert got[0]["bpe_tokens"] == 9  # no punctuation/digits
+
+
+def test_quality_score_bounds(docs):
+    rows = textstats.quality_score(docs, "doc_id", "text").collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[0]["stop_ratio"] > 0
+
+
+def test_fingerprint_stability(docs):
+    fp1 = {r["id"]: r["fingerprint"] for r in
+           textstats.fingerprint(docs, "doc_id", "text").collect()}
+    fp2 = {r["id"]: r["fingerprint"] for r in
+           textstats.fingerprint(docs, "doc_id", "text").collect()}
+    assert fp1 == fp2
+    assert fp1[0] == fp1[2]      # identical docs -> identical fingerprint
+    assert fp1[0] != fp1[3]
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    import random
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = ann.brute_force_topk(df, q, k=3).collect()
+    rank1 = {r["qid"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert rank1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    import random
+    rng = random.Random(9)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = ann.brute_force_topk(df, q, k=3).collect()
+    approx = ann.lsh_bucket_topk(df, q, k=3, dim=16, num_planes=4,
+                                 num_tables=6).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6  # approximate path finds most true neighbours
+    # self-match always survives (same bucket in every table)
+    assert all((i, i) in approx_set for i in range(5))
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [("u1", b"\x89PNGfakebytes"), ("u2", b""), ("u3", b"JFIFxxxx")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    meta = {r["id"]: r for r in
+            multimodal.decode_media(df, "url", "payload").collect()}
+    assert meta["u1"]["ok"] and meta["u1"]["byte_len"] == 13
+    assert not meta["u2"]["ok"]
+    feats = {r["id"]: r["features"] for r in
+             multimodal.extract_features(df, "url", "payload").collect()}
+    assert len(feats["u1"]) == 8
+    assert feats["u1"] != feats["u3"]
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"bytes")
