@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md §2 plus the
+training-data operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible operator (value-compared at sf=0.01).  Floating
+point outputs are rounded identically on both sides, and rankings order by
+rounded values with deterministic id tie-breaks, so the comparison is
+summation-order independent.
 """
 
 from __future__ import annotations
@@ -12,27 +13,711 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _docs_aug(spark, sf_dir):
+    """documents + near/exact-duplicate synthetic twins (deterministic)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_twin = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near_twin = d.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 8)").alias("text"))
+    return d.unionByName(exact_twin).unionByName(near_twin)
+
+
+_DOCS_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 10000, text FROM documents
+    UNION ALL SELECT doc_id + 20000, substring(text, 1, length(text) - 8)
+    FROM documents
+"""
+
+_PART_GRAMS_SQL = """
+    SELECT p_partkey AS id, substring(p_name, t.i, 2) AS ngram
+    FROM part, LATERAL (SELECT unnest(generate_series(1, length(p_name) - 1))
+                        AS i) t
+    UNION ALL
+    SELECT p_partkey AS id, substring(p_name, t.i, 3) AS ngram
+    FROM part, LATERAL (SELECT unnest(generate_series(1, length(p_name) - 2))
+                        AS i) t
+    WHERE length(p_name) >= 3
+"""
+
+_QUERY_NAMES_SQL = """
+    SELECT p_partkey AS id, substring(p_name, 1, length(p_name) - 2) AS name
+    FROM part WHERE p_partkey % 17 = 0 AND length(p_name) > 6
+"""
+
+
+def _part_names(spark, sf_dir):
+    return _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+
+
+def _query_names(spark, sf_dir):
+    return _read(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") % 17 == 0) & (F.length("p_name") > 6)
+    ).select(
+        F.col("p_partkey").alias("id"),
+        F.expr("substring(p_name, 1, length(p_name) - 2)").alias("name"))
+
+
+def _tfidf_parts(spark, sf_dir):
+    from name_matching_spark.operators.tfidf import (
+        doc_count_table, explode_char_ngrams, idf_table, master_weights,
+        query_weights, with_group)
+
+    m = with_group(_part_names(spark, sf_dir), None)
+    q = with_group(_query_names(spark, sf_dir), None)
+    m_tf = explode_char_ngrams(m, "id", "name")
+    q_tf = explode_char_ngrams(q, "id", "name")
+    idf = idf_table(m_tf, doc_count_table(m, "id"))
+    return master_weights(m_tf, idf), query_weights(q_tf, idf), idf
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_normalize(spark, sf_dir):
+    from name_matching_spark.functions.normalize import normalize_basic
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    normalize_basic(F.col("text")).alias("name_norm"))
+
+
+def _q_ngram_df(spark, sf_dir):
+    from name_matching_spark.operators.tfidf import (explode_char_ngrams,
+                                                     with_group)
+
+    p = with_group(_part_names(spark, sf_dir), None)
+    tf = explode_char_ngrams(p, "id", "name", (2, 2))
+    return tf.groupBy("ngram").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _q_tfidf_weights(spark, sf_dir):
+    m_w, _, _ = _tfidf_parts(spark, sf_dir)
+    return m_w.select("id", "ngram",
+                      F.round("weight", 6).alias("weight"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from name_matching_spark.operators.blocking import cosine_top_n
+
+    m_w, q_w, _ = _tfidf_parts(spark, sf_dir)
+    top = cosine_top_n(q_w, m_w, top_n=3, round_decimals=9)
+    return top.select("qid", "mid", "rank")
+
+
+def _q_exact_join(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("a_id"),
+                 F.col("p_name").alias("name"))
+    b = p.select(F.col("p_partkey").alias("b_id"),
+                 F.col("p_name").alias("name"))
+    return (a.join(b, "name").filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "name"))
+
+
+def _q_anti_join(spark, sf_dir):
+    """O9 shape: rows of the left table with no exact partner on the right
+    (customers without orders -- guaranteed non-empty in TPC-H data)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return (c.join(o, "c_custkey", "left_anti")
+            .select(F.col("c_custkey").alias("id")))
+
+
+def _q_group_exact_join(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("a_id"), "p_brand",
+                 F.col("p_name").alias("name"))
+    b = p.select(F.col("p_partkey").alias("b_id"), "p_brand",
+                 F.col("p_name").alias("name"))
+    return (a.join(b, ["p_brand", "name"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", F.col("p_brand").alias("block_key")))
+
+
+def _q_word_counts(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_common_word_cutoff(spark, sf_dir):
+    counts = _q_word_counts(spark, sf_dir)
+    mx = counts.agg(F.max("cnt").alias("mx"))
+    return (counts.crossJoin(F.broadcast(mx))
+            .filter(F.col("cnt") > F.col("mx") * 0.1)
+            .select("word", "cnt"))
+
+
+def _q_top_words_reduce(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    ww = words.join(F.broadcast(counts), "word")
+    doc_min = ww.groupBy("doc_id").agg(F.min("cnt").alias("min_cnt"))
+    kept = ww.join(F.broadcast(doc_min), "doc_id").filter(
+        F.col("cnt") < 3 * F.col("min_cnt"))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"]),
+            " ").alias("reduced_text"))
+
+
+def _q_connected_components(spark, sf_dir):
+    from name_matching_spark.operators.cluster import connected_components
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    edges = o.select(F.col("o_custkey").cast("long").alias("src"),
+                     (F.col("o_orderkey") + 1000000).cast("long").alias("dst"))
+    return connected_components(edges)
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from name_matching_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_aug(spark, sf_dir), "doc_id", "text")
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from name_matching_spark.operators.dedup import (minhash_signatures,
+                                                     word_shingles)
+
+    d = _read(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text")
+    sig = minhash_signatures(sh, num_hashes=8)
+    return sig.select("id", F.col("seed").cast("int").alias("seed"),
+                      "minhash")
+
+
+def _q_lsh_jaccard_pairs(spark, sf_dir):
+    from name_matching_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(_docs_aug(spark, sf_dir), "doc_id", "text",
+                              num_hashes=8, bands=4, min_jaccard=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_langid(spark, sf_dir):
+    from name_matching_spark.operators.textstats import lang_id
+
+    d = _read(spark, sf_dir, "documents")
+    out = lang_id(d, "doc_id", "text")
+    return out.select("id", "lang_pred",
+                      F.col("lang_score").cast("int").alias("lang_score"))
+
+
+def _q_quality(spark, sf_dir):
+    from name_matching_spark.operators.textstats import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    return quality_score(d, "doc_id", "text").select(
+        "id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "punct_ratio", "stop_ratio", "mean_word_len", "quality")
+
+
+def _q_token_counts(spark, sf_dir):
+    from name_matching_spark.operators.textstats import token_counts
+
+    d = _read(spark, sf_dir, "documents")
+    out = token_counts(d, "doc_id", "text")
+    return out.select("id",
+                      F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+                      F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+                      F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from name_matching_spark.operators.textstats import fingerprint
+
+    d = _read(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")
+
+
+def _q_ann_topk(spark, sf_dir):
+    from name_matching_spark.operators.ann import brute_force_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return brute_force_topk(e, q, k=5, round_decimals=6)
+
+
+# --- rows-only (not SQL-expressible: pandas-UDF metric ensemble etc.) ----
+
+def _q_match_parts_e2e(spark, sf_dir):
+    from name_matching_spark.pipeline import MatchConfig, match_names
+
+    masters = _part_names(spark, sf_dir)
+    queries = _query_names(spark, sf_dir)
+    res = match_names(spark, queries, masters, "id", "name", "id", "name",
+                      config=MatchConfig(threshold=50.0, top_n=10))
+    return res.select("a_id", "b_id", F.round("score", 6).alias("score"),
+                      "source")
+
+
+def _q_simhash(spark, sf_dir):
+    from name_matching_spark.operators.dedup import simhash
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from name_matching_spark.operators.ann import lsh_bucket_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return lsh_bucket_topk(e, q, k=5, dim=64, num_planes=6, num_tables=4)
+
+
+def _q_media_meta(spark, sf_dir):
+    from name_matching_spark.operators.multimodal import decode_media
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return decode_media(d, "doc_id", "payload")
+
+
+def _q_cluster_pages(spark, sf_dir):
+    """Flagship shape: extract -> link -> transitively cluster synthetic
+    pages (deterministic generator, twin variants per entity)."""
+    from name_matching_spark.pipeline import MatchConfig, match_pages
+    from name_matching_spark.sources.pages import spark_pages_df
+
+    pages = spark_pages_df(spark, entities=40, variants=2)
+    a = pages.filter(F.col("variant_id") == 1)
+    b = pages.filter(F.col("variant_id") == 0)
+    return match_pages(spark, a, b, config=MatchConfig(threshold=50.0),
+                       cluster=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "normalize_names": _q_normalize,
+        "ngram_df": _q_ngram_df,
+        "tfidf_master_weights": _q_tfidf_weights,
+        "cosine_topk": _q_cosine_topk,
+        "exact_join": _q_exact_join,
+        "anti_join": _q_anti_join,
+        "group_exact_join": _q_group_exact_join,
+        "word_counts": _q_word_counts,
+        "common_word_cutoff": _q_common_word_cutoff,
+        "top_words_reduce": _q_top_words_reduce,
+        "connected_components": _q_connected_components,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
+        "langid": _q_langid,
+        "quality_score": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann_topk,
+        # rows-only (pandas-UDF kernels / approximate / binary plumbing)
+        "match_parts_e2e": _q_match_parts_e2e,
+        "simhash_docs": _q_simhash,
+        "ann_lsh_topk": _q_ann_lsh,
+        "media_meta": _q_media_meta,
+        "cluster_pages_e2e": _q_cluster_pages,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = ("lower(trim(regexp_replace(regexp_replace(text, "
+         "'[^\\w\\-\\&\\#]', ' ', 'g'), '\\s+', ' ', 'g')))")
+
+_SHINGLES_SQL = r"""
+    w AS (
+        SELECT id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                'g')), ' ') AS ws
+        FROM docs
+    ),
+    sh AS (
+        SELECT DISTINCT id,
+               ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS shingle
+        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+                         AS i) t
+        WHERE len(ws) >= 3
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize_names": f"SELECT doc_id, {_NORM} AS name_norm FROM documents",
+        "ngram_df": """
+            WITH g AS (
+                SELECT p_partkey AS id, substring(p_name, t.i, 2) AS ngram
+                FROM part, LATERAL (SELECT unnest(generate_series(1,
+                     length(p_name) - 1)) AS i) t
+            )
+            SELECT ngram, count(DISTINCT id) AS df FROM g GROUP BY ngram
+        """,
+        "tfidf_master_weights": f"""
+            WITH grams AS ({_PART_GRAMS_SQL}),
+            tf AS (SELECT id, ngram, CAST(count(*) AS DOUBLE) AS tf
+                   FROM grams GROUP BY id, ngram),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM part),
+            idf AS (SELECT ngram,
+                           ln((1 + n.n_docs) / (1 + count(*))) + 1 AS idf
+                    FROM tf, n GROUP BY ngram, n.n_docs),
+            wt AS (SELECT tf.id, tf.ngram, tf.tf * idf.idf AS tfidf
+                   FROM tf JOIN idf USING (ngram)),
+            s AS (SELECT id, sum(tfidf) AS st FROM wt GROUP BY id)
+            SELECT wt.id, wt.ngram, round(wt.tfidf / s.st, 6) AS weight
+            FROM wt JOIN s USING (id)
+        """,
+        "cosine_topk": f"""
+            WITH grams AS ({_PART_GRAMS_SQL}),
+            tf AS (SELECT id, ngram, CAST(count(*) AS DOUBLE) AS tf
+                   FROM grams GROUP BY id, ngram),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM part),
+            idf AS (SELECT ngram,
+                           ln((1 + n.n_docs) / (1 + count(*))) + 1 AS idf
+                    FROM tf, n GROUP BY ngram, n.n_docs),
+            wt AS (SELECT tf.id, tf.ngram, tf.tf * idf.idf AS tfidf
+                   FROM tf JOIN idf USING (ngram)),
+            s AS (SELECT id, sum(tfidf) AS st FROM wt GROUP BY id),
+            mw AS (SELECT wt.id, wt.ngram, wt.tfidf / s.st AS weight
+                   FROM wt JOIN s USING (id)),
+            qnames AS ({_QUERY_NAMES_SQL}),
+            qg AS (
+                SELECT id, substring(name, t.i, 2) AS ngram FROM qnames,
+                LATERAL (SELECT unnest(generate_series(1, length(name) - 1))
+                         AS i) t
+                UNION ALL
+                SELECT id, substring(name, t.i, 3) AS ngram FROM qnames,
+                LATERAL (SELECT unnest(generate_series(1, length(name) - 2))
+                         AS i) t
+                WHERE length(name) >= 3
+            ),
+            qtf AS (SELECT id, ngram, CAST(count(*) AS DOUBLE) AS tf
+                    FROM qg GROUP BY id, ngram),
+            qw0 AS (SELECT qtf.id, qtf.ngram, qtf.tf * idf.idf AS tfidf
+                    FROM qtf JOIN idf USING (ngram)),
+            qs AS (SELECT id, sqrt(sum(tfidf * tfidf)) AS l2
+                   FROM qw0 GROUP BY id),
+            qw AS (SELECT qw0.id, qw0.ngram, qw0.tfidf / qs.l2 AS weight
+                   FROM qw0 JOIN qs USING (id)),
+            cos AS (
+                SELECT qw.id AS qid, mw.id AS mid,
+                       round(sum(qw.weight * mw.weight), 9) AS cosine
+                FROM qw JOIN mw ON qw.ngram = mw.ngram
+                GROUP BY qw.id, mw.id
+            ),
+            ranked AS (
+                SELECT qid, mid,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, mid ASC) AS rank
+                FROM cos
+            )
+            SELECT qid, mid, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "exact_join": """
+            SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                   a.p_name AS name
+            FROM part a JOIN part b
+              ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+        """,
+        "anti_join": """
+            SELECT c_custkey AS id FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderkey % 50 = 0)
+        """,
+        "group_exact_join": """
+            SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                   a.p_brand AS block_key
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_name = b.p_name
+             AND a.p_partkey < b.p_partkey
+        """,
+        "word_counts": """
+            WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents)
+            SELECT word, count(*) AS cnt FROM t
+            WHERE word <> '' GROUP BY word
+        """,
+        "common_word_cutoff": """
+            WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                       FROM documents),
+            c AS (SELECT word, count(*) AS cnt FROM t
+                  WHERE word <> '' GROUP BY word)
+            SELECT word, cnt FROM c
+            WHERE cnt > (SELECT max(cnt) FROM c) * 0.1
+        """,
+        "top_words_reduce": """
+            WITH words AS (
+                SELECT doc_id, t.pos, t.word
+                FROM documents,
+                LATERAL (SELECT unnest(string_split(lower(text), ' '))
+                         AS word,
+                         unnest(generate_series(1,
+                             len(string_split(lower(text), ' ')))) AS pos) t
+                WHERE t.word <> ''
+            ),
+            counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+            ww AS (SELECT w.doc_id, w.pos, w.word, c.cnt
+                   FROM words w JOIN counts c USING (word)),
+            doc_min AS (SELECT doc_id, min(cnt) AS min_cnt
+                        FROM ww GROUP BY doc_id)
+            SELECT ww.doc_id,
+                   string_agg(ww.word, ' ' ORDER BY ww.pos) AS reduced_text
+            FROM ww JOIN doc_min USING (doc_id)
+            WHERE ww.cnt < 3 * doc_min.min_cnt
+            GROUP BY ww.doc_id
+        """,
+        "connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT CAST(o_custkey AS BIGINT) AS src,
+                       CAST(o_orderkey + 1000000 AS BIGINT) AS dst
+                FROM orders WHERE o_orderkey % 11 = 0
+            ),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            nodes AS (SELECT DISTINCT src AS id FROM sym),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT reach.id, sym.dst FROM reach
+                JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "exact_dedup": f"""
+            WITH docs AS ({_DOCS_AUG_SQL}),
+            h AS (SELECT doc_id AS id, md5(text) AS content_hash FROM docs),
+            g AS (SELECT content_hash, min(id) AS keeper_id,
+                         count(*) AS c
+                  FROM h GROUP BY content_hash)
+            SELECT h.id, g.keeper_id, h.content_hash
+            FROM h JOIN g USING (content_hash) WHERE g.c > 1
+        """,
+        "minhash_signatures": f"""
+            WITH docs AS (SELECT doc_id AS id, text FROM documents),
+            {_SHINGLES_SQL}
+            SELECT id, CAST(s.seed AS INT) AS seed,
+                   min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle))
+                       AS minhash
+            FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+            GROUP BY id, s.seed
+        """,
+        "lsh_jaccard_pairs": f"""
+            WITH docs AS (SELECT doc_id AS id, text
+                          FROM ({_DOCS_AUG_SQL})),
+            {_SHINGLES_SQL},
+            mh AS (
+                SELECT id, CAST(s.seed AS INT) AS seed,
+                       min(md5(CAST(s.seed AS VARCHAR) || '|' || shingle))
+                           AS minhash
+                FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+                GROUP BY id, s.seed
+            ),
+            bh AS (
+                SELECT id, seed % 4 AS band,
+                       md5(string_agg(CAST(seed AS VARCHAR) || ':' || minhash,
+                           ',' ORDER BY CAST(seed AS VARCHAR) || ':'
+                           || minhash)) AS bhash
+                FROM mh GROUP BY id, seed % 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bh a JOIN bh b
+                  ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+            FROM cand c
+            JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+            JOIN sizes sa ON sa.id = c.id_a
+            JOIN sizes sb ON sb.id = c.id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+        """,
+        "langid": """
+            WITH s AS (
+                SELECT doc_id AS id, ' ' || lower(text) || ' ' AS p
+                FROM documents
+            ),
+            sc AS (
+                SELECT id,
+                  (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' ein ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' mit ') THEN 1 ELSE 0 END) AS s_de,
+                  (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' with ') THEN 1 ELSE 0 END) AS s_en,
+                  (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' las ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' con ') THEN 1 ELSE 0 END) AS s_es,
+                  (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' des ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' avec ') THEN 1 ELSE 0 END) AS s_fr,
+                  (CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' het ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' een ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' van ') THEN 1 ELSE 0 END +
+                   CASE WHEN contains(p, ' met ') THEN 1 ELSE 0 END) AS s_nl
+                FROM s
+            )
+            SELECT id,
+                   CASE greatest(s_de, s_en, s_es, s_fr, s_nl)
+                        WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                        WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+                        ELSE 'nl' END AS lang_pred,
+                   CAST(greatest(s_de, s_en, s_es, s_fr, s_nl) AS INT)
+                       AS lang_score
+            FROM sc
+        """,
+        "quality_score": r"""
+            WITH q AS (
+                SELECT doc_id AS id, text,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(string_split_regex(trim(text), '\s+')) AS n_words,
+                       ' ' || lower(text) || ' ' AS p
+                FROM documents
+            ),
+            r AS (
+                SELECT id, n_chars,
+                       round(CAST(n_punct AS DOUBLE)
+                             / greatest(n_chars, 1), 6) AS punct_ratio,
+                       round(CAST(
+                         (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' an ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' or ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' in ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
+                          CASE WHEN contains(p, ' it ') THEN 1 ELSE 0 END)
+                         AS DOUBLE) / 10, 6) AS stop_ratio,
+                       (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' a ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' an ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' or ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' in ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
+                        CASE WHEN contains(p, ' it ') THEN 1 ELSE 0 END)
+                           AS stop_hits,
+                       round(CAST(n_chars - n_words + 1 AS DOUBLE)
+                             / greatest(n_words, 1), 6) AS mean_word_len
+                FROM q
+            )
+            SELECT id, CAST(n_chars AS BIGINT) AS n_chars, punct_ratio,
+                   stop_ratio, mean_word_len,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 50 AND 10000
+                           THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN stop_hits > 0 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN mean_word_len BETWEEN 2.5 AND 12
+                             THEN 0.25 ELSE 0.0 END), 2) AS quality
+            FROM r
+        """,
+        "token_counts": r"""
+            SELECT doc_id AS id,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                        AS bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "fingerprint": f"""
+            WITH docs AS (SELECT doc_id AS id, text FROM documents),
+            {_SHINGLES_SQL}
+            SELECT id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY id
+        """,
+        "ann_topk": """
+            WITH v AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+                      FROM v GROUP BY vec_id),
+            q AS (SELECT vec_id AS qid, i, x AS qx FROM v WHERE vec_id < 10),
+            dots AS (
+                SELECT q.qid, v.vec_id, sum(q.qx * v.x) AS dot
+                FROM q JOIN v ON q.i = v.i
+                GROUP BY q.qid, v.vec_id
+            ),
+            cos AS (
+                SELECT d.qid, d.vec_id,
+                       round(d.dot / (nq.nrm * nv.nrm), 6) AS cosine
+                FROM dots d
+                JOIN norms nq ON nq.vec_id = d.qid
+                JOIN norms nv ON nv.vec_id = d.vec_id
+            ),
+            ranked AS (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM cos
+            )
+            SELECT qid, vec_id, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full record-linkage (exact short-circuit + TF-IDF blocking
+    + metric-ensemble scoring + threshold) of perturbed part names against
+    the part master at sf0.001."""
+    return _q_match_parts_e2e(spark, "/root/testdata/sf0.001")

@@ -31,11 +31,13 @@ def brute_force_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     qid_col: str = "qid", qvec_col: str = "qvec",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """-> (qid, vec_id, rank): exact cosine top-k per query.
 
     queries is expected to be small (broadcast side); ranking excludes
-    nothing, ties break on vec_id ascending.
+    nothing, ties break on vec_id ascending.  ``round_decimals`` rounds the
+    cosine before ranking for summation-order-independent ordering.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
@@ -43,6 +45,9 @@ def brute_force_topk(
                        _as_double_array(F.col(qvec_col)).alias("qv"))
     scored = v.join(F.broadcast(q)).withColumn(
         "cosine", _cosine(F.col("qv"), F.col("v")))
+    if round_decimals is not None:
+        scored = scored.withColumn(
+            "cosine", F.round(F.col("cosine"), round_decimals))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (

@@ -46,10 +46,14 @@ def cosine_top_n(
     top_n: int = 50,
     idf: DataFrame | None = None,
     df_cap_frac: float | None = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """-> (group, qid, mid, cosine, rank) with rank <= top_n per qid.
 
     query_w/master_w: (group, id, ngram, weight) long-form matrices.
+    ``round_decimals`` rounds the cosine before ranking so the ordering is
+    independent of floating-point summation order (cross-engine / re-run
+    determinism); ties always break on mid ascending.
     """
     if df_cap_frac is not None and idf is not None:
         query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
@@ -66,6 +70,9 @@ def cosine_top_n(
         .groupBy(GROUP_COL, "qid", "mid")
         .agg(F.sum(F.col("wq") * F.col("wm")).alias("cosine"))
     )
+    if round_decimals is not None:
+        pairs = pairs.withColumn(
+            "cosine", F.round(F.col("cosine"), round_decimals))
     w = Window.partitionBy(GROUP_COL, "qid").orderBy(
         F.col("cosine").desc(), F.col("mid").asc())
     return (
