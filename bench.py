@@ -1,0 +1,195 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pairs_per_sec": ..., "scaling": {...}}
+
+The scaling block evidences the north rule's two-cluster-size criterion in
+this single-node sandbox: the same fixed scoring workload is executed at
+local[8] and local[32] (N vs 4N cores) and throughput + efficiency are
+reported.  Set SPARK_GRAFT_SKIP_SCALING=1 to skip that block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "6000"))
+SCALING_ENTITIES = int(os.environ.get("SPARK_GRAFT_SCALING_ENTITIES", "16000"))
+
+
+def _sf_label(path: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.0
+
+
+def _fresh_spark(cores: int, shuffle: int):
+    from name_matching_spark.session import get_spark
+    return get_spark("nm-bench", master=f"local[{cores}]",
+                     shuffle_partitions=shuffle)
+
+
+def headline(spark) -> tuple[dict, dict]:
+    """Headline queries; returns (per-query seconds, extras)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from name_matching_spark.pipeline import MatchConfig, match_pages
+    from name_matching_spark.sources.pages import spark_pages_df
+
+    times: dict[str, float] = {}
+    extras: dict = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        n = thunk()
+        times[name] = round(time.time() - t0, 3)
+        return n
+
+    # q1: full record-linkage on the synthetic pages corpus (the flagship
+    # workload): extract -> normalize -> exact short-circuit -> blocking ->
+    # ensemble scoring -> threshold
+    pages = spark_pages_df(spark, entities=BENCH_ENTITIES, variants=2)
+    pages = pages.persist()
+    pages.count()
+    a = pages.filter(F.col("variant_id") == 1)
+    b = pages.filter(F.col("variant_id") == 0)
+    cfg = MatchConfig(threshold=50.0, df_cap_frac=0.25)
+    n_matches = run("q1_linkage_pages",
+                    lambda: match_pages(spark, a, b, config=cfg).count())
+    extras["q1_matches"] = n_matches
+    pages.unpersist()
+
+    # q2: blocking-only cosine top-n at sf scale (part names)
+    qs = entry.queries()
+    run("q2_cosine_topk", lambda: qs["cosine_topk"](spark, SF_DIR).count())
+    # q3: minhash-LSH near-dup on documents
+    run("q3_lsh_dedup",
+        lambda: qs["lsh_jaccard_pairs"](spark, SF_DIR).count())
+    # q4: connected components on orders edges
+    run("q4_connected_components",
+        lambda: qs["connected_components"](spark, SF_DIR).count())
+    # q5: brute-force ANN top-k on embeddings
+    run("q5_ann_topk", lambda: qs["ann_topk"](spark, SF_DIR).count())
+    # q6: text quality + langid + token counts full scan
+    run("q6_textstats", lambda: (
+        qs["quality_score"](spark, SF_DIR).count()
+        + qs["langid"](spark, SF_DIR).count()
+        + qs["token_counts"](spark, SF_DIR).count()))
+    return times, extras
+
+
+def scoring_workload(spark, entities: int, out_dir: str) -> str:
+    """Materialize a fixed candidate-pair table once (parquet) so the
+    scaling runs time ONLY the scoring stage on identical input."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.functions.normalize import preprocess_udf
+    from name_matching_spark.operators.blocking import cosine_top_n
+    from name_matching_spark.operators.tfidf import (
+        doc_count_table, explode_char_ngrams, idf_table, master_weights,
+        query_weights, with_group)
+    from name_matching_spark.sources.pages import spark_pages_df
+
+    path = os.path.join(out_dir, f"pairs_{entities}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from name_matching_spark.functions.extract import extract_name
+
+    pages = spark_pages_df(spark, entities=entities, variants=2)
+    pp = preprocess_udf()
+    names = pages.select(
+        "url", "entity_id", "variant_id",
+        pp(extract_name(F.col("html"), F.col("text"))).alias("name"))
+    m = with_group(names.filter(F.col("variant_id") == 0)
+                   .select(F.col("url").alias("id"), "name"), None)
+    q = with_group(names.filter(F.col("variant_id") == 1)
+                   .select(F.col("url").alias("id"), "name"), None)
+    m_tf = explode_char_ngrams(m, "id", "name")
+    q_tf = explode_char_ngrams(q, "id", "name")
+    idf = idf_table(m_tf, doc_count_table(m, "id"))
+    cand = cosine_top_n(query_weights(q_tf, idf), master_weights(m_tf, idf),
+                        top_n=50, idf=idf, df_cap_frac=0.2)
+    pairs = (
+        cand.join(q.select(F.col("id").alias("qid"),
+                           F.col("name").alias("query_name")), "qid")
+        .join(m.select(F.col("id").alias("mid"),
+                       F.col("name").alias("cand_name")), "mid")
+        .select("qid", "mid", "query_name", "cand_name")
+    )
+    pairs.write.mode("overwrite").parquet(path)
+    return path
+
+
+def time_scoring(cores: int, pairs_path: str) -> dict:
+    """One fresh local[cores] session; time the pandas-UDF scoring job."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.scoring import score_pairs_udf
+
+    spark = _fresh_spark(cores, shuffle=max(2 * cores, 16))
+    try:
+        df = spark.read.parquet(pairs_path).repartition(4 * cores)
+        df = df.persist()
+        n_pairs = df.count()
+        # warm the python workers so worker spawn cost isn't measured
+        udf = score_pairs_udf()
+        df.limit(2000).withColumn(
+            "s", udf(F.col("query_name"), F.col("cand_name"))).count()
+        t0 = time.time()
+        scored = df.withColumn(
+            "s", udf(F.col("query_name"), F.col("cand_name")))
+        scored.select(F.sum(F.element_at("s", 1))).collect()
+        wall = time.time() - t0
+        return {"cores": cores, "pairs": n_pairs, "sec": round(wall, 2),
+                "pairs_per_sec": round(n_pairs / wall)}
+    finally:
+        spark.stop()
+
+
+def main():
+    sf = _sf_label(SF_DIR)
+    out = {"metric": "candidate-pairs-scored/sec", "unit": "sec", "sf": sf}
+
+    spark = _fresh_spark(CPUS, shuffle=max(2 * CPUS, 32))
+    try:
+        times, extras = headline(spark)
+        # materialize the fixed scaling workload while the big session is up
+        work_dir = os.environ.get("SPARK_GRAFT_WORK", "/tmp/nm_bench")
+        os.makedirs(work_dir, exist_ok=True)
+        pairs_path = (None if os.environ.get("SPARK_GRAFT_SKIP_SCALING")
+                      else scoring_workload(spark, SCALING_ENTITIES,
+                                            work_dir))
+    finally:
+        spark.stop()
+
+    out["queries"] = times
+    out.update(extras)
+    out["value"] = round(sum(times.values()), 3)
+
+    if pairs_path:
+        lo = time_scoring(8, pairs_path)
+        hi = time_scoring(32, pairs_path)
+        speedup = lo["sec"] / hi["sec"] if hi["sec"] else 0.0
+        out["pairs_per_sec"] = hi["pairs_per_sec"]
+        out["scaling"] = {
+            "n_cores": lo, "4n_cores": hi,
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / 4.0, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

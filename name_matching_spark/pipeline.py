@@ -7,22 +7,33 @@ scoring) -> threshold filter; optional group-blocked matching via a block
 key present on both sides (one shuffled job keyed by group -- no per-group
 refit loop) -> optional transitive clustering of accepted edges.
 
-Every stage can checkpoint to a StageCheckpoint so a killed run resumes
-from the last complete stage.
+Plan-shape notes (these matter at scale):
+* All string normalization for a side happens in ONE Arrow-batched pandas
+  UDF pass (light + full preprocess fused into a struct), so each input row
+  crosses the JVM<->Python boundary exactly once before the scoring stage.
+* Branch-shared intermediates (prepared sides, idf, candidates) are
+  persisted: the exact/fuzzy branches and the idf's three consumers reuse
+  one computation instead of re-deriving the lineage.
+* Every stage can checkpoint to a StageCheckpoint so a killed run resumes
+  from the last complete stage.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import StageCheckpoint
 from .functions.extract import extract_name
-from .functions.normalize import light_preprocess_udf, preprocess_udf
 from .nm_core.metrics import DEFAULT_METRICS
-from .nm_core.preprocess import PreprocessConfig
+from .nm_core.preprocess import (
+    PreprocessConfig,
+    light_preprocess_name,
+    preprocess_name,
+)
 from .operators.blocking import cosine_top_n
 from .operators.cluster import cluster_matches
 from .operators.scoring import best_matches, score_candidates
@@ -46,20 +57,35 @@ class MatchConfig:
     preprocess: PreprocessConfig = PreprocessConfig()
     df_cap_frac: float | None = None  # hot-ngram cap for the blocking join
     number_of_matches: int = 1
+    cache_intermediates: bool = True
+
+
+def _prepare_udf(cfg: PreprocessConfig):
+    """One fused pandas UDF: raw name -> (name_light, name_norm)."""
+
+    @F.pandas_udf("name_light string, name_norm string")
+    def _prep(names: pd.Series) -> pd.DataFrame:
+        light = names.astype("object").map(light_preprocess_name)
+        norm = light.map(lambda n: preprocess_name(n, cfg))
+        return pd.DataFrame({"name_light": light, "name_norm": norm})
+
+    return _prep
 
 
 def _prepare(df: DataFrame, id_col: str, name_col: str,
-             group_col: str | None) -> DataFrame:
-    """-> (id, __group, name_raw, name_light, name_norm)."""
+             group_col: str | None, cfg: PreprocessConfig) -> DataFrame:
+    """-> (id, __group, name_raw, name_light, name_norm); one UDF pass."""
     out = with_group(
         df.select(F.col(id_col).alias("id"),
                   F.col(name_col).alias("name_raw"),
                   *([F.col(group_col)] if group_col else [])),
         group_col,
     )
-    lp = light_preprocess_udf()
-    out = out.withColumn("name_light", lp(F.col("name_raw")))
-    return out
+    prep = _prepare_udf(cfg)
+    out = out.withColumn("__prep", prep(F.col("name_raw")))
+    return out.select("id", GROUP_COL, "name_raw",
+                      F.col("__prep.name_light").alias("name_light"),
+                      F.col("__prep.name_norm").alias("name_norm"))
 
 
 def match_names(
@@ -80,11 +106,15 @@ def match_names(
     Returns (a_id, b_id, original_name, match_name, score, source) for rows
     with score > threshold; ``source`` is 'exact' or 'fuzzy'.
     """
-    a = _prepare(df_a, id_col_a, name_col_a, group_col_a)
-    b = _prepare(df_b, id_col_b, name_col_b, group_col_b)
+    cache = ((lambda d: d.persist()) if config.cache_intermediates
+             else (lambda d: d))
+    a = _prepare(df_a, id_col_a, name_col_a, group_col_a, config.preprocess)
+    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config.preprocess)
     if checkpoint:
         a = checkpoint.get_or_compute("normalized_a", lambda: a)
         b = checkpoint.get_or_compute("normalized_b", lambda: b)
+    else:
+        a, b = cache(a), cache(b)
 
     # --- exact-match short-circuit (run_nm.py:106-144) -------------------
     exact = (
@@ -102,13 +132,10 @@ def match_names(
                        a["id"] == F.col("a_id"), "left_anti")
 
     # --- fuzzy path on the remainder -------------------------------------
-    pp = preprocess_udf(config.preprocess)
-    b_norm = b.withColumn("name_norm", pp(F.col("name_light")))
-    q_norm = remainder.withColumn("name_norm", pp(F.col("name_light")))
-
-    m_tf = explode_char_ngrams(b_norm, "id", "name_norm", config.ngram_range)
-    q_tf = explode_char_ngrams(q_norm, "id", "name_norm", config.ngram_range)
-    idf = idf_table(m_tf, doc_count_table(b_norm, "id"))
+    m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
+    q_tf = explode_char_ngrams(remainder, "id", "name_norm",
+                               config.ngram_range)
+    idf = cache(idf_table(m_tf, doc_count_table(b, "id")))
     m_w = master_weights(m_tf, idf)
     q_w = query_weights(q_tf, idf)
 
@@ -121,11 +148,11 @@ def match_names(
 
     pairs = (
         candidates
-        .join(q_norm.select(GROUP_COL, F.col("id").alias("qid"),
-                            F.col("name_norm").alias("query_name")),
+        .join(a.select(GROUP_COL, F.col("id").alias("qid"),
+                       F.col("name_norm").alias("query_name")),
               [GROUP_COL, "qid"])
-        .join(b_norm.select(GROUP_COL, F.col("id").alias("mid"),
-                            F.col("name_norm").alias("cand_name")),
+        .join(b.select(GROUP_COL, F.col("id").alias("mid"),
+                       F.col("name_norm").alias("cand_name")),
               [GROUP_COL, "mid"])
     )
 
