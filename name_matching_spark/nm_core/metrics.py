@@ -653,6 +653,112 @@ def sim_editex(src: str, tar: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Typo (QWERTY keyboard-distance weighted edit distance)
+# ---------------------------------------------------------------------------
+
+_QWERTY = (
+    (("`", "1", "2", "3", "4", "5", "6", "7", "8", "9", "0", "-", "="),
+     ("", "q", "w", "e", "r", "t", "y", "u", "i", "o", "p", "[", "]", "\\"),
+     ("", "a", "s", "d", "f", "g", "h", "j", "k", "l", ";", "'"),
+     ("", "z", "x", "c", "v", "b", "n", "m", ",", ".", "/"),
+     ("", "", "", " ")),
+    (("~", "!", "@", "#", "$", "%", "^", "&", "*", "(", ")", "_", "+"),
+     ("", "Q", "W", "E", "R", "T", "Y", "U", "I", "O", "P", "{", "}", "|"),
+     ("", "A", "S", "D", "F", "G", "H", "J", "K", "L", ":", '"'),
+     ("", "Z", "X", "C", "V", "B", "N", "M", "<", ">", "?"),
+     ("", "", "", " ")),
+)
+
+_QWERTY_COORD: dict[str, tuple[int, int, int]] = {}
+for _mode_i, _mode in enumerate(_QWERTY):
+    for _row_i, _row in enumerate(_mode):
+        for _col_i, _ch in enumerate(_row):
+            if _ch and _ch not in _QWERTY_COORD:
+                _QWERTY_COORD[_ch] = (_mode_i, _row_i, _col_i)
+
+
+def _typo_sub_cost(c1: str, c2: str, sub_cost: float,
+                   shift_cost: float) -> float:
+    m1, r1, k1 = _QWERTY_COORD[c1]
+    m2, r2, k2 = _QWERTY_COORD[c2]
+    euclid = ((r1 - r2) ** 2 + (k1 - k2) ** 2) ** 0.5
+    return sub_cost * (euclid + shift_cost * (m1 != m2))
+
+
+def sim_typo(src: str, tar: str, ins_cost: float = 1.0, del_cost: float = 1.0,
+             sub_cost: float = 0.5, shift_cost: float = 0.5) -> float:
+    """Typo distance (QWERTY, euclidean metric, costs (1,1,.5,.5)),
+    normalized by max(len).  Characters absent from the keyboard raise
+    ValueError, matching the published behaviour."""
+    if src == tar:
+        return 1.0
+    norm = max(len(src) * del_cost, len(tar) * ins_cost)
+    if norm == 0:
+        return 1.0
+    if not src:
+        return 1.0 - len(tar) * ins_cost / norm
+    if not tar:
+        return 1.0 - len(src) * del_cost / norm
+    for ch in src + tar:
+        if ch not in _QWERTY_COORD:
+            raise ValueError(ch + " not found in any keyboard layouts")
+    prev = [j * ins_cost for j in range(len(tar) + 1)]
+    for i in range(len(src)):
+        cs = src[i]
+        cur = [(i + 1) * del_cost]
+        for j in range(len(tar)):
+            ct = tar[j]
+            sub = prev[j] + (0.0 if cs == ct else
+                             _typo_sub_cost(cs, ct, sub_cost, shift_cost))
+            best = min(cur[j] + ins_cost, prev[j + 1] + del_cost, sub)
+            cur.append(best)
+        prev = cur
+    return 1.0 - prev[-1] / norm
+
+
+# ---------------------------------------------------------------------------
+# SSK (string subsequence kernel, lambda=0.9 2-skipgrams)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16384)
+def _ssk_weights(s: str, lam: float = 0.9) -> tuple[dict, float]:
+    """Skip-bigram weight map: w[s[i]+s[j]] += lam^(j-i+1) for i<j, and the
+    squared norm of the weight vector."""
+    w: dict[str, float] = {}
+    n = len(s)
+    for i in range(n):
+        si = s[i]
+        lam_pow = lam * lam  # lam^(j-i+1) at j = i+1
+        for j in range(i + 1, n):
+            tok = si + s[j]
+            w[tok] = w.get(tok, 0.0) + lam_pow
+            lam_pow *= lam
+    norm2 = 0.0
+    for v in w.values():
+        norm2 += v * v
+    return w, norm2
+
+
+def sim_ssk(src: str, tar: str, lam: float = 0.9) -> float:
+    """Cosine of the SSK skip-bigram kernel vectors."""
+    if src == tar:
+        return 1.0
+    ws, ns = _ssk_weights(src, lam)
+    wt, nt = _ssk_weights(tar, lam)
+    if len(wt) < len(ws):
+        ws, wt = wt, ws
+    score = 0.0
+    for tok, v in ws.items():
+        u = wt.get(tok)
+        if u is not None:
+            score += v * u
+    if not score:
+        return 0.0
+    return score / (ns * nt) ** 0.5
+
+
+# ---------------------------------------------------------------------------
 # Phonetic: refined soundex codes compared by normalized levenshtein
 # ---------------------------------------------------------------------------
 
@@ -721,14 +827,16 @@ _METRIC_TABLE = [
     ("fuzzy_wuzzy_token_sort", "fuzzy", sim_fuzzy_wuzzy_token_sort),
     ("fuzzy_wuzzy_token_set", "fuzzy", sim_fuzzy_wuzzy_token_set),
     ("editex", "edit", sim_editex),
+    ("typo", "edit", sim_typo),
     ("lig_3", "Levenshtein", sim_lig3),
+    ("ssk", "Subsequence", sim_ssk),
     ("refined_soundex", "phonetic", sim_refined_soundex),
 ]
 
 METRIC_FUNCTIONS = {name: fn for name, _, fn in _METRIC_TABLE}
 
 # Not yet implemented from the reference's full surface; documented gaps.
-UNIMPLEMENTED_METRICS = ("typo", "ssk", "double_metaphone")
+UNIMPLEMENTED_METRICS = ("double_metaphone",)
 
 DEFAULT_METRICS = (
     "overlap",

@@ -112,14 +112,22 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        # scale path: expand only the candidate pairs' shingle lists --
+        # never the full quadratic shingle self-join
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter
         .join(sizes.select(F.col("id").alias("id_a"),

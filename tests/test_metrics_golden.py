@@ -180,6 +180,22 @@ GOLDEN = {
         (A, "Bank", 0.0), (A, "De Duitse Bank", 6 / 17),
         (A, "Federal Reserve", 2 / 17),
     ],
+    "typo": [
+        (A, A, 1), (A, "Nederlandsche Bank", 6 / 7),
+        (A, "Bank de Nederlandsche", 43 / 84), (A, "De Nederlandse Bank", 19 / 21),
+        (A, "De Nederlancsh Bank", 37 / 42), (A, "De Bank", 1 / 3),
+        (A, "Bank", 4 / 21), (A, "De Duitse Bank", 0.49642190479096915),
+        (A, "Federal Reserve", 0.2664967491513207),
+    ],
+    "ssk": [
+        (A, A, 1), (A, "Nederlandsche Bank", 0.9228829701817861),
+        (A, "Bank de Nederlandsche", 0.7711353570271147),
+        (A, "De Nederlandse Bank", 0.9377381283200467),
+        (A, "De Nederlancsh Bank", 0.9411991279605375),
+        (A, "De Bank", 0.5230048581284561), (A, "Bank", 0.24487267643945035),
+        (A, "De Duitse Bank", 0.45427562753677897),
+        (A, "Federal Reserve", 0.47482190774345556),
+    ],
     "refined_soundex": [
         (A, A, 1), (A, "Nederlandsche Bank", 10 / 11),
         (A, "Bank de Nederlandsche", 4 / 11), (A, "De Nederlandse Bank", 1.0),
