@@ -203,7 +203,30 @@ GOLDEN = {
         (A, "De Nederlandsche Benk", 1.0), (A, "De Duitse Bank", 7 / 11),
         (A, "Federal Reserve", 4 / 11),
     ],
+    "double_metaphone": [
+        (A, A, 1), (A, "Nederlandsche Bank", 0.91666666666666666),
+        (A, "Bank de Nederlandsche", 0.5),
+        (A, "De Nederlandse Bank", 0.91666666666666666),
+        (A, "De Nederlancsh Bank", 0.91666666666666666),
+        (A, "De Bank", 0.41666666666666663),
+        (A, "De Nederlandsche Benk", 1.0),
+        (A, "De Duitse Bank", 0.5833333333333333),
+        (A, "Federal Reserve", 0.33333333333333337),
+    ],
 }
+
+
+def test_all_29_reference_metrics_present():
+    assert len(M.METRIC_FUNCTIONS) == 29
+    assert not M.UNIMPLEMENTED_METRICS
+
+
+def test_double_metaphone_codes():
+    from name_matching_spark.nm_core.phonetic import double_metaphone
+    assert double_metaphone("Christopher") == "KRSTFR,"
+    assert double_metaphone("Schmidt") == "XMT,SMT"
+    assert double_metaphone("Smith") == "SM0,XMT"
+    assert double_metaphone("Niall") == "NL,"
 
 
 def _cases():
