@@ -58,6 +58,40 @@ class MatchConfig:
     df_cap_frac: float | None = None  # hot-ngram cap for the blocking join
     number_of_matches: int = 1
     cache_intermediates: bool = True
+    # second candidate search on common-word-reduced query names
+    # (reference preprocess_split, name_matcher.py:739-747); candidate sets
+    # are unioned (distinct) before scoring
+    preprocess_split: bool = False
+
+
+def reduce_query_names(df: DataFrame, name_col: str = "name_norm",
+                       occurrence_count: int = 3) -> DataFrame:
+    """Reference _preprocess_reduce (name_matcher.py:541-572): drop words
+    occurring more than ``occurrence_count`` times the count of the rarest
+    word *in that string* (counts taken over the whole column).  Returns the
+    input with ``name_col`` replaced by the reduced string."""
+    words = df.select(
+        "id", GROUP_COL,
+        F.posexplode(F.split(F.col(name_col), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy(GROUP_COL, "word").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    ww = words.join(counts, [GROUP_COL, "word"])
+    doc_min = ww.groupBy(GROUP_COL, "id").agg(F.min("cnt").alias("min_cnt"))
+    reduced = (
+        ww.join(doc_min, [GROUP_COL, "id"])
+        .filter(F.col("cnt") < occurrence_count * F.col("min_cnt"))
+        .groupBy(GROUP_COL, "id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda s: s["word"]), " ").alias("__reduced"))
+    )
+    return (
+        df.drop(name_col)
+        .join(reduced, [GROUP_COL, "id"], "left")
+        .withColumn(name_col, F.coalesce(F.col("__reduced"), F.lit("")))
+        .drop("__reduced")
+    )
 
 
 def _prepare_udf(cfg: PreprocessConfig):
@@ -140,8 +174,22 @@ def match_names(
     q_w = query_weights(q_tf, idf)
 
     def _candidates():
-        return cosine_top_n(q_w, m_w, config.top_n, idf=idf,
+        cand = cosine_top_n(q_w, m_w, config.top_n, idf=idf,
                             df_cap_frac=config.df_cap_frac)
+        if config.preprocess_split:
+            reduced = reduce_query_names(remainder)
+            q_tf2 = explode_char_ngrams(reduced, "id", "name_norm",
+                                        config.ngram_range)
+            cand2 = cosine_top_n(query_weights(q_tf2, idf), m_w,
+                                 config.top_n, idf=idf,
+                                 df_cap_frac=config.df_cap_frac)
+            # union of both candidate sets (reference hstacks positions;
+            # duplicates don't change the argmax, so distinct is safe)
+            cand = (cand.unionByName(cand2)
+                    .groupBy(GROUP_COL, "qid", "mid")
+                    .agg(F.max("cosine").alias("cosine"),
+                         F.min("rank").alias("rank")))
+        return cand
 
     candidates = (checkpoint.get_or_compute("candidates", _candidates)
                   if checkpoint else _candidates())
@@ -176,6 +224,31 @@ def match_names(
     if checkpoint:
         matches = checkpoint.get_or_compute("matches", lambda: matches)
     return matches.drop(GROUP_COL)
+
+
+def pivot_matches(matches: DataFrame, number_of_matches: int) -> DataFrame:
+    """Long matches -> reference-style wide shape: one row per a_id with
+    match_name_i / score_i / match_index_i columns (name_matcher.py:819-846).
+
+    Expects the long output of match_names with number_of_matches > 1 (rows
+    carry no explicit rank, so rank is reconstructed from score order).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(),
+                                           F.col("b_id").asc())
+    ranked = matches.withColumn("__m", F.row_number().over(w) - 1)
+    aggs = [F.first("original_name").alias("original_name")]
+    for i in range(number_of_matches):
+        aggs.extend([
+            F.max(F.when(F.col("__m") == i, F.col("match_name")))
+            .alias(f"match_name_{i}"),
+            F.max(F.when(F.col("__m") == i, F.col("score")))
+            .alias(f"score_{i}"),
+            F.max(F.when(F.col("__m") == i, F.col("b_id")))
+            .alias(f"match_index_{i}"),
+        ])
+    return ranked.groupBy("a_id").agg(*aggs)
 
 
 def extract_pages_names(pages: DataFrame) -> DataFrame:

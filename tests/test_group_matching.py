@@ -1,0 +1,58 @@
+"""Group-blocked matching: one shuffled job must equal per-group refits."""
+
+import pytest
+
+from name_matching_spark.nm_core.oracle import run_nm_oracle
+from name_matching_spark.pipeline import MatchConfig, match_names
+from name_matching_spark.sources.pages import (
+    adjusted_names_corpus,
+    names_corpus,
+)
+
+N = 48
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    names = names_corpus(N)
+    adj = adjusted_names_corpus(N)
+    df_b = spark.createDataFrame(
+        [(r["id"], r["company_name"], r["country"]) for r in names],
+        "id long, name string, country string")
+    df_a = spark.createDataFrame(
+        [(r["id"], r["company_name"], r["country"]) for r in adj],
+        "id long, name string, country string")
+    res = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                      group_col_a="country", group_col_b="country",
+                      config=MatchConfig(threshold=0.0))
+    return names, adj, {int(r["a_id"]): (int(r["b_id"]), float(r["score"]))
+                        for r in res.collect()}
+
+
+def test_group_matching_equals_per_group_oracle(grouped):
+    names, adj, spark_matches = grouped
+    # oracle: independent run per country (the reference's per-group refit)
+    expected = {}
+    for country in sorted({r["country"] for r in names}):
+        b_rows = [r for r in names if r["country"] == country]
+        a_rows = [r for r in adj if r["country"] == country]
+        if not a_rows or not b_rows:
+            continue
+        res = run_nm_oracle([r["company_name"] for r in a_rows],
+                            [r["company_name"] for r in b_rows],
+                            threshold=0.0)
+        for local_a, (local_b, score) in res.items():
+            expected[a_rows[local_a]["id"]] = (b_rows[local_b]["id"], score)
+    assert set(spark_matches) == set(expected)
+    for a_id, (b_id, score) in expected.items():
+        got_b, got_s = spark_matches[a_id]
+        assert got_b == b_id, f"a{a_id}: {got_b} != {b_id}"
+        assert got_s == pytest.approx(score, abs=1e-9)
+
+
+def test_no_cross_group_matches(grouped):
+    names, adj, spark_matches = grouped
+    country_a = {r["id"]: r["country"] for r in adj}
+    country_b = {r["id"]: r["country"] for r in names}
+    for a_id, (b_id, _) in spark_matches.items():
+        assert country_a[a_id] == country_b[b_id]
