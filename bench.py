@@ -74,9 +74,15 @@ def headline(spark) -> tuple[dict, dict]:
     # q2: blocking-only cosine top-n at sf scale (part names)
     qs = entry.queries()
     run("q2_cosine_topk", lambda: qs["cosine_topk"](spark, SF_DIR).count())
-    # q3: minhash-LSH near-dup on documents
-    run("q3_lsh_dedup",
-        lambda: qs["lsh_jaccard_pairs"](spark, SF_DIR).count())
+    # q3: minhash-LSH near-dup on documents.  16 hashes / 2 bands (8 rows
+    # per band) so band collisions need jaccard^8 -- at corpus scale the
+    # candidate count stays near-linear instead of quadratic.
+    def _q3():
+        from name_matching_spark.operators.dedup import minhash_lsh_dedup
+        docs = entry._docs_aug(spark, SF_DIR)
+        return minhash_lsh_dedup(docs, "doc_id", "text", num_hashes=16,
+                                 bands=2, min_jaccard=0.5).count()
+    run("q3_lsh_dedup", _q3)
     # q4: connected components on orders edges
     run("q4_connected_components",
         lambda: qs["connected_components"](spark, SF_DIR).count())

@@ -144,8 +144,12 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       min_jaccard: float = 0.5) -> DataFrame:
-    """Full near-dup path: shingle -> minhash -> band join -> verify."""
-    sh = word_shingles(df, id_col, text_col)
+    """Full near-dup path: shingle -> minhash -> band join -> verify.
+
+    The shingle table feeds both the signature and the verify stage, so it
+    is persisted for the lifetime of the returned plan (one computation
+    instead of three)."""
+    sh = word_shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands)
     return shingle_jaccard(sh, pairs=cand, min_jaccard=min_jaccard)
