@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the record-linkage pipeline.
+
+Cluster usage (the north-rule launch shape):
+
+    cd /root/repo && zip -qr /tmp/nm_spark.zip name_matching_spark
+    spark-submit --py-files /tmp/nm_spark.zip scripts/run_linkage.py \
+        --pages-a s3://bucket/pages_a --pages-b s3://bucket/pages_b \
+        --output s3://bucket/matches \
+        --checkpoint-dir s3://bucket/checkpoints/run1 \
+        --threshold 95 --cluster
+
+Inputs are parquet tables with the BASELINE input_hint schema
+(url, warc_ts, html, text, lang).  A killed job relaunched with the same
+--checkpoint-dir resumes from the last complete stage.  With --demo N the
+inputs are replaced by the deterministic synthetic pages corpus (N
+entities), useful for smoke tests without data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pages-a", help="parquet path of the query pages table")
+    p.add_argument("--pages-b", help="parquet path of the master pages table")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--threshold", type=float, default=95.0)
+    p.add_argument("--top-n", type=int, default=50)
+    p.add_argument("--df-cap-frac", type=float, default=0.25,
+                   help="drop n-grams with df above this fraction of docs "
+                        "from the blocking join (skew control)")
+    p.add_argument("--cluster", action="store_true",
+                   help="emit transitive entity clusters instead of edges")
+    p.add_argument("--preprocess-split", action="store_true")
+    p.add_argument("--demo", type=int, default=0,
+                   help="run on N synthetic entities instead of real input")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.checkpoint import StageCheckpoint
+    from name_matching_spark.pipeline import MatchConfig, match_pages
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark("nm-linkage")
+    if args.demo:
+        from name_matching_spark.sources.pages import spark_pages_df
+        pages = spark_pages_df(spark, entities=args.demo, variants=2)
+        pages_a = pages.filter(F.col("variant_id") == 1)
+        pages_b = pages.filter(F.col("variant_id") == 0)
+    else:
+        if not (args.pages_a and args.pages_b):
+            p.error("--pages-a/--pages-b required unless --demo")
+        pages_a = spark.read.parquet(args.pages_a)
+        pages_b = spark.read.parquet(args.pages_b)
+
+    ck = None
+    if args.checkpoint_dir:
+        fingerprint = f"a={args.pages_a},b={args.pages_b},demo={args.demo}," \
+                      f"t={args.threshold},k={args.top_n}"
+        ck = StageCheckpoint(spark, args.checkpoint_dir, fingerprint)
+
+    cfg = MatchConfig(top_n=args.top_n, threshold=args.threshold,
+                      df_cap_frac=args.df_cap_frac,
+                      preprocess_split=args.preprocess_split)
+    out = match_pages(spark, pages_a, pages_b, config=cfg,
+                      checkpoint=ck, cluster=args.cluster)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} rows to {args.output}")
+    if ck:
+        for m in ck.metrics():
+            print("stage", m["stage"], "rows", m["rows_out"],
+                  "wall_ms", m["wall_ms"])
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
