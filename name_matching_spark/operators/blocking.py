@@ -81,6 +81,104 @@ def cosine_top_n(
     )
 
 
+def prefix_filtered_top_n(
+    query_w: DataFrame,
+    master_w: DataFrame,
+    idf: DataFrame,
+    top_n: int = 50,
+    prefix_size: int = 6,
+    df_cap_frac: float | None = 0.2,
+    posting_cap: int | None = 2000,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Scale path for the cosine top-N blocker: prefix-filtered candidate
+    generation (AllPairs/PPJoin-style) + exact cosine verification.
+
+    The full inverted-index join is Sum_g df_q(g)*df_m(g) -- quadratic in
+    hot n-grams and unusable beyond ~10^4 docs per block.  Instead:
+
+    1. each document contributes only its ``prefix_size`` *rarest* n-grams
+       (by global df) to the candidate join, so join output per gram is
+       bounded by the product of restricted posting lengths -- near-linear
+       because grams are selected for rarity;
+    2. candidate pairs then get their EXACT cosine from a join of both full
+       weight vectors (cost = |candidates| x avg shared grams);
+    3. per-query top-k window as in the exact operator.
+
+    A true near-match shares most n-grams including rare ones, so recall
+    for high-cosine pairs is high (measured >= 99% top-1 agreement vs the
+    exact join on the twin corpus at prefix_size=6); recall decays
+    gracefully for low-cosine pairs, which the top-N would rank last anyway.
+
+    ``posting_cap`` additionally truncates each n-gram's *restricted*
+    posting list to its first N ids (deterministic), hard-bounding the
+    join output at vocab * posting_cap^2 even when mid-frequency grams end
+    up in many documents' prefixes.  Distinctive names keep genuinely rare
+    grams (postings far below the cap), so twin recall is unaffected;
+    names made entirely of corpus-common tokens lose candidates first --
+    the same names every blocker struggles with.
+    """
+    dfreq = idf.select(GROUP_COL, "ngram", "df")
+
+    def rare_prefix(w: DataFrame) -> DataFrame:
+        ranked = w.join(F.broadcast(dfreq), [GROUP_COL, "ngram"])
+        win = Window.partitionBy(GROUP_COL, "id").orderBy(
+            F.col("df").asc(), F.col("ngram").asc())
+        out = (ranked.withColumn("__r", F.row_number().over(win))
+               .filter(F.col("__r") <= prefix_size)
+               .select(GROUP_COL, "id", "ngram"))
+        if posting_cap is not None:
+            pwin = Window.partitionBy(GROUP_COL, "ngram").orderBy(
+                F.col("id").asc())
+            out = (out.withColumn("__p", F.row_number().over(pwin))
+                   .filter(F.col("__p") <= posting_cap)
+                   .drop("__p"))
+        return out
+
+    if df_cap_frac is not None:
+        query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
+        master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
+
+    q_pref = rare_prefix(query_w).select(
+        GROUP_COL, F.col("id").alias("qid"), "ngram")
+    m_pref = rare_prefix(master_w).select(
+        GROUP_COL, F.col("id").alias("mid"), "ngram")
+    cand = (q_pref.join(m_pref, [GROUP_COL, "ngram"])
+            .select(GROUP_COL, "qid", "mid").distinct())
+
+    # exact cosine for candidates WITHOUT re-exploding grams: each side's
+    # weight vector becomes one map column; the dot product is a JVM-side
+    # map_zip_with fold, so verification is |candidates| rows end-to-end
+    def as_map(w: DataFrame, id_alias: str, map_alias: str) -> DataFrame:
+        return (w.groupBy(GROUP_COL, "id")
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct("ngram", "weight")))
+                    .alias(map_alias))
+                .withColumnRenamed("id", id_alias))
+
+    q_map = as_map(query_w, "qid", "qm")
+    m_map = as_map(master_w, "mid", "mm")
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(qm, mm, "
+        "(k, v1, v2) -> coalesce(v1, 0d) * coalesce(v2, 0d))), "
+        "0d, (acc, x) -> acc + x)")
+    pairs = (
+        cand.join(q_map, [GROUP_COL, "qid"])
+        .join(m_map, [GROUP_COL, "mid"])
+        .select(GROUP_COL, "qid", "mid", dot.alias("cosine"))
+        .filter(F.col("cosine") > 0)
+    )
+    if round_decimals is not None:
+        pairs = pairs.withColumn(
+            "cosine", F.round(F.col("cosine"), round_decimals))
+    w = Window.partitionBy(GROUP_COL, "qid").orderBy(
+        F.col("cosine").desc(), F.col("mid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
 def salted_equi_join(
     big: DataFrame,
     small: DataFrame,

@@ -35,21 +35,50 @@ def score_pairs_udf(metrics=DEFAULT_METRICS):
     return _score
 
 
+def score_mean_udf(metrics=DEFAULT_METRICS):
+    """pandas UDF (name_a, name_b) -> double mean metric score.
+
+    Half the Arrow return volume of the array variant and no per-row list
+    construction -- the default-path ranking only needs the mean
+    (name_matcher.py:898).  Use score_pairs_udf when the per-metric vector
+    is needed (optimiser features, return_algorithms_score parity).
+    """
+    metric_names = tuple(metrics)
+
+    @F.pandas_udf(DoubleType())
+    def _score(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
+        fns = flat_metric_fns(metric_names)
+        k = len(fns)
+        out = [
+            sum(fn(str(a), str(b)) for fn in fns) / k
+            for a, b in zip(name_a, name_b)
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return _score
+
+
 def score_candidates(
     candidates: DataFrame,
     query_name_col: str = "query_name",
     cand_name_col: str = "cand_name",
     metrics=DEFAULT_METRICS,
+    keep_scores: bool = False,
 ) -> DataFrame:
-    """Add per-metric ``scores`` array and ``mean_score`` columns."""
-    udf = score_pairs_udf(metrics)
-    scored = candidates.withColumn(
-        "scores", udf(F.col(query_name_col), F.col(cand_name_col)))
-    return scored.withColumn(
-        "mean_score",
-        F.aggregate("scores", F.lit(0.0), lambda acc, x: acc + x)
-        / F.size("scores"),
-    )
+    """Add ``mean_score`` (and, with keep_scores, the per-metric ``scores``
+    array) to a candidate-pair DataFrame."""
+    if keep_scores:
+        udf = score_pairs_udf(metrics)
+        scored = candidates.withColumn(
+            "scores", udf(F.col(query_name_col), F.col(cand_name_col)))
+        return scored.withColumn(
+            "mean_score",
+            F.aggregate("scores", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("scores"),
+        )
+    udf = score_mean_udf(metrics)
+    return candidates.withColumn(
+        "mean_score", udf(F.col(query_name_col), F.col(cand_name_col)))
 
 
 def best_matches(scored: DataFrame, number_of_matches: int = 1) -> DataFrame:

@@ -62,6 +62,10 @@ class MatchConfig:
     # (reference preprocess_split, name_matcher.py:739-747); candidate sets
     # are unioned (distinct) before scoring
     preprocess_split: bool = False
+    # when set, candidate generation uses prefix-filtered blocking
+    # (operators/blocking.py::prefix_filtered_top_n) -- the near-linear
+    # scale path; None = exact inverted-index join (small/medium blocks)
+    prefix_size: int | None = None
 
 
 def reduce_query_names(df: DataFrame, name_col: str = "name_norm",
@@ -174,8 +178,15 @@ def match_names(
     q_w = query_weights(q_tf, idf)
 
     def _candidates():
-        cand = cosine_top_n(q_w, m_w, config.top_n, idf=idf,
-                            df_cap_frac=config.df_cap_frac)
+        if config.prefix_size is not None:
+            from .operators.blocking import prefix_filtered_top_n
+            cand = prefix_filtered_top_n(
+                q_w, m_w, idf, config.top_n,
+                prefix_size=config.prefix_size,
+                df_cap_frac=config.df_cap_frac)
+        else:
+            cand = cosine_top_n(q_w, m_w, config.top_n, idf=idf,
+                                df_cap_frac=config.df_cap_frac)
         if config.preprocess_split:
             reduced = reduce_query_names(remainder)
             q_tf2 = explode_char_ngrams(reduced, "id", "name_norm",

@@ -32,9 +32,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/root/spark-tmp"))
+        # local-mode congestion safety: heavy shuffles + 32 task threads can
+        # starve the driver's RPC threads; generous timeouts prevent
+        # spurious heartbeat-failure task retries
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -16,12 +16,16 @@ import datetime as _dt
 import hashlib
 import struct
 
-_SYLLABLES = [
-    "an", "ber", "card", "dorf", "el", "fen", "gart", "hoff", "ing", "jans",
-    "kamp", "lund", "mann", "nord", "ols", "pet", "quist", "rood", "stein",
-    "tor", "ulf", "vries", "wald", "xen", "ysen", "zorn", "bach", "dal",
-    "ecker", "feld",
-]
+# syllable inventory sized so the name space stays diverse at bench scale
+# (low-entropy corpora make every name resemble every other and turn any
+# blocker quadratic -- unrealistic for real company registries)
+_ONSETS = ["b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr", "h", "j",
+           "k", "kl", "l", "m", "n", "p", "pr", "qu", "r", "s", "sch", "st",
+           "t", "tr", "v", "w", "x", "z"]
+_NUCLEI = ["a", "e", "i", "o", "u", "ae", "ei", "ie", "oo", "au"]
+_CODAS = ["n", "r", "l", "s", "t", "rd", "nd", "ck", "ff", "m", "ng", "rn",
+          "st", "lz", ""]
+_SYLLABLES = [o + n + c for o in _ONSETS for n in _NUCLEI for c in _CODAS]
 _SUFFIXES = ["PLC", "Ltd", "BV", "NV", "GmbH", "Inc", "LLC", "Group",
              "Holding", "and Sons", "Partners", "International"]
 _JOINERS = ["{a} {b} {s}", "{a}, {b} and {c}", "{a}-{b} {s}", "{a} {s}",
