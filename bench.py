@@ -93,6 +93,39 @@ def headline(spark) -> tuple[dict, dict]:
         qs["quality_score"](spark, SF_DIR).count()
         + qs["langid"](spark, SF_DIR).count()
         + qs["token_counts"](spark, SF_DIR).count()))
+
+    # q7: the scale path -- prefix-filtered blocking over a 20k-name block
+    # (near-linear; the exact inverted-index join is quadratic in hot
+    # n-grams and reserved for small/medium blocks)
+    def _q7():
+        from name_matching_spark.functions.extract import extract_name
+        from name_matching_spark.functions.normalize import preprocess_udf
+        from name_matching_spark.operators.blocking import (
+            prefix_filtered_top_n)
+        from name_matching_spark.operators.tfidf import (
+            doc_count_table, explode_char_ngrams, idf_table, master_weights,
+            query_weights, with_group)
+        E = 20000
+        pgs = spark_pages_df(spark, entities=E, variants=2)
+        pp = preprocess_udf()
+        names = pgs.select(
+            "url", "variant_id",
+            pp(extract_name(F.col("html"), F.col("text"))).alias("name"))
+        names = names.persist()
+        names.count()
+        m = with_group(names.filter(F.col("variant_id") == 0)
+                       .select(F.col("url").alias("id"), "name"), None)
+        q = with_group(names.filter(F.col("variant_id") == 1)
+                       .select(F.col("url").alias("id"), "name"), None)
+        m_tf = explode_char_ngrams(m, "id", "name")
+        q_tf = explode_char_ngrams(q, "id", "name")
+        idf = idf_table(m_tf, doc_count_table(m, "id"))
+        n = prefix_filtered_top_n(
+            query_weights(q_tf, idf), master_weights(m_tf, idf), idf,
+            top_n=50, prefix_size=6, df_cap_frac=0.2).count()
+        names.unpersist()
+        return n
+    run("q7_prefix_blocking_20k", _q7)
     return times, extras
 
 
@@ -125,8 +158,10 @@ def scoring_workload(spark, entities: int, out_dir: str) -> str:
     m_tf = explode_char_ngrams(m, "id", "name")
     q_tf = explode_char_ngrams(q, "id", "name")
     idf = idf_table(m_tf, doc_count_table(m, "id"))
-    cand = cosine_top_n(query_weights(q_tf, idf), master_weights(m_tf, idf),
-                        top_n=50, idf=idf, df_cap_frac=0.2)
+    from name_matching_spark.operators.blocking import prefix_filtered_top_n
+    cand = prefix_filtered_top_n(
+        query_weights(q_tf, idf), master_weights(m_tf, idf), idf,
+        top_n=50, prefix_size=6, df_cap_frac=0.2)
     pairs = (
         cand.join(q.select(F.col("id").alias("qid"),
                            F.col("name").alias("query_name")), "qid")
@@ -138,28 +173,35 @@ def scoring_workload(spark, entities: int, out_dir: str) -> str:
     return path
 
 
-def time_scoring(cores: int, pairs_path: str) -> dict:
-    """One fresh local[cores] session; time the pandas-UDF scoring job."""
+def time_scoring(cores: int, pairs_path: str, trials: int = 2) -> dict:
+    """One fresh local[cores] session; time the pandas-UDF scoring job.
+
+    A full warm-up pass spawns and primes every python worker (imports,
+    caches) so the measurement is the steady-state scoring throughput; the
+    best of ``trials`` reduces scheduler noise."""
     from pyspark.sql import functions as F
 
-    from name_matching_spark.operators.scoring import score_pairs_udf
+    from name_matching_spark.operators.scoring import score_mean_udf
 
     spark = _fresh_spark(cores, shuffle=max(2 * cores, 16))
     try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "2048")
         df = spark.read.parquet(pairs_path).repartition(4 * cores)
         df = df.persist()
         n_pairs = df.count()
-        # warm the python workers so worker spawn cost isn't measured
-        udf = score_pairs_udf()
-        df.limit(2000).withColumn(
-            "s", udf(F.col("query_name"), F.col("cand_name"))).count()
-        t0 = time.time()
+        udf = score_mean_udf()
         scored = df.withColumn(
             "s", udf(F.col("query_name"), F.col("cand_name")))
-        scored.select(F.sum(F.element_at("s", 1))).collect()
-        wall = time.time() - t0
-        return {"cores": cores, "pairs": n_pairs, "sec": round(wall, 2),
-                "pairs_per_sec": round(n_pairs / wall)}
+        scored.select(F.count("s")).collect()  # full warm-up pass
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            scored.select(F.sum("s")).collect()
+            wall = time.time() - t0
+            best = wall if best is None or wall < best else best
+        return {"cores": cores, "pairs": n_pairs, "sec": round(best, 2),
+                "pairs_per_sec": round(n_pairs / best)}
     finally:
         spark.stop()
 

@@ -93,6 +93,36 @@ def test_df_cap_drops_hot_ngrams(spark_weights):
         assert r["c_cap"] <= r["c_full"] + 1e-12
 
 
+def test_prefix_filtered_top1_agrees_with_exact(spark):
+    from name_matching_spark.operators.blocking import prefix_filtered_top_n
+    from name_matching_spark.sources.pages import (adjusted_names_corpus,
+                                                   names_corpus)
+
+    N = 100
+    names = names_corpus(N)
+    adj = adjusted_names_corpus(N)
+    m = with_group(spark.createDataFrame(
+        [(r["id"], r["company_name"].lower()) for r in names],
+        "id long, name string"), None)
+    q = with_group(spark.createDataFrame(
+        [(r["id"], r["company_name"].lower()) for r in adj],
+        "id long, name string"), None)
+    m_tf = explode_char_ngrams(m, "id", "name")
+    q_tf = explode_char_ngrams(q, "id", "name")
+    idf = idf_table(m_tf, doc_count_table(m, "id")).persist()
+    m_w = master_weights(m_tf, idf).persist()
+    q_w = query_weights(q_tf, idf).persist()
+    exact = {r["qid"]: r["mid"]
+             for r in cosine_top_n(q_w, m_w, 50)
+             .filter(F.col("rank") == 1).collect()}
+    pref = {r["qid"]: r["mid"]
+            for r in prefix_filtered_top_n(q_w, m_w, idf, 50, prefix_size=6,
+                                           df_cap_frac=None)
+            .filter(F.col("rank") == 1).collect()}
+    agree = sum(1 for k, v in exact.items() if pref.get(k) == v)
+    assert agree / len(exact) >= 0.95
+
+
 def test_topk_plan_uses_window_group_limit(spark_weights):
     """The per-qid top-k must be a bounded-heap WindowGroupLimit, not a full
     sort -- this is what keeps the operator viable at 100 TB."""
