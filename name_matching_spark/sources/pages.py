@@ -148,6 +148,52 @@ def pages_rows(entities: int, variants: int, seed: int = 42,
     return rows
 
 
+def labeled_pairs(n_entities: int = 60, seed: int = 42,
+                  negatives_per_positive: int = 10,
+                  threshold: float = 95.0) -> list[dict]:
+    """FIXTURES.md F3: labeled pairs with ground truth and the reference-
+    semantics decision (oracle pipeline at the run_nm threshold).
+
+    Positives: every (variant, original) twin.  Negatives: same-block pairs
+    with the nearest other entities (hard) plus deterministic random pairs.
+    ``ref_decision`` is the oracle's match/no-match for the pair's query --
+    the F1 >= 0.99 comparison target.
+    """
+    from ..nm_core.oracle import run_nm_oracle
+
+    originals = names_corpus(n_entities, seed)
+    variants = adjusted_names_corpus(n_entities, seed)
+    decisions = run_nm_oracle(
+        [r["company_name"] for r in variants],
+        [r["company_name"] for r in originals],
+        threshold=threshold)
+    rows = []
+    for i in range(n_entities):
+        url_a = f"https://site{i}.example/1"
+        block = variants[i]["country"]
+        # positive pair
+        rows.append({
+            "url_a": url_a, "url_b": f"https://site{i}.example/0",
+            "block_key": block, "label": 1,
+            "ref_decision": int(decisions.get(i, (None,))[0] == i),
+        })
+        # negatives: deterministic same-block non-matches
+        added = 0
+        j = i
+        while added < negatives_per_positive:
+            j = (j + 1 + _h(seed, i, added, "neg") % (n_entities - 1)) \
+                % n_entities
+            if j == i:
+                continue
+            rows.append({
+                "url_a": url_a, "url_b": f"https://site{j}.example/0",
+                "block_key": block, "label": 0,
+                "ref_decision": int(decisions.get(i, (None,))[0] == j),
+            })
+            added += 1
+    return rows
+
+
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
                 "lang string, entity_id bigint, variant_id bigint")
 
