@@ -256,9 +256,11 @@ def common_word_set(names: list[str], cut_off: float = 0.01) -> set[str]:
     return {w for w, c in counts.items() if c > mx * cut_off}
 
 
-def strip_words(name: str, word_set: set[str]) -> str:
+def strip_words(name: str, word_set) -> str:
     """Remove whole-word occurrences of word_set from name, collapse spaces
-    (name_matcher.py:937-962)."""
-    for word in word_set:
+    (name_matcher.py:937-962).  Iterates in sorted order so the result is
+    deterministic across processes (the reference iterates a raw set,
+    whose order is arbitrary)."""
+    for word in sorted(word_set):
         name = " ".join(re.sub(rf"\b{re.escape(word)}\b", "", name).split())
     return name

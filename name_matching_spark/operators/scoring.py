@@ -81,6 +81,38 @@ def score_candidates(
         "mean_score", udf(F.col(query_name_col), F.col(cand_name_col)))
 
 
+def postprocess_rescore(
+    matches: DataFrame,
+    word_set: frozenset,
+    query_name_col: str = "query_name",
+    cand_name_col: str = "cand_name",
+    metrics=DEFAULT_METRICS,
+) -> DataFrame:
+    """Reference postprocess (name_matcher.py:984-1009): strip no-scoring
+    words (legal suffixes / corpus-common words) from both names of each
+    *winning* pair and overwrite the score with the re-scored mean x100.
+    Matches stand; only scores change.  Runs on winners only (<= one row
+    per query), so the extra UDF pass is negligible."""
+    from ..nm_core.preprocess import strip_words
+
+    metric_names = tuple(metrics)
+    words = frozenset(word_set)
+
+    @F.pandas_udf(DoubleType())
+    def _rescore(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
+        fns = flat_metric_fns(metric_names)
+        k = len(fns)
+        out = []
+        for a, b in zip(name_a, name_b):
+            a2 = strip_words(str(a), words)
+            b2 = strip_words(str(b), words)
+            out.append(100.0 * sum(fn(a2, b2) for fn in fns) / k)
+        return pd.Series(out, dtype="float64")
+
+    return matches.withColumn(
+        "score", _rescore(F.col(query_name_col), F.col(cand_name_col)))
+
+
 def best_matches(scored: DataFrame, number_of_matches: int = 1) -> DataFrame:
     """Per-query argmax (or top-m) by mean score; score scaled to 0-100.
 

@@ -66,6 +66,12 @@ class MatchConfig:
     # (operators/blocking.py::prefix_filtered_top_n) -- the near-linear
     # scale path; None = exact inverted-index join (small/medium blocks)
     prefix_size: int | None = None
+    # postprocess word-stripped re-scoring of winners (reference
+    # legal_suffixes / common_words flags, name_matcher.py:158-176,984-1009)
+    legal_suffixes: bool = False
+    common_words: bool = False
+    cut_off_no_scoring_words: float = 0.01
+    no_scoring_words: tuple = ()
 
 
 def reduce_query_names(df: DataFrame, name_col: str = "name_norm",
@@ -221,8 +227,32 @@ def match_names(
     scored = (checkpoint.get_or_compute("scored", _scored)
               if checkpoint else _scored())
 
+    winners = best_matches(scored, config.number_of_matches)
+
+    # postprocess: overwrite winner scores on word-stripped names
+    word_set = set(config.no_scoring_words)
+    if config.legal_suffixes:
+        from .nm_core.preprocess import legal_word_set
+        word_set |= legal_word_set()
+    if config.common_words:
+        # corpus-common words from the master column, reference cutoff
+        # semantics (count > max_count * cut_off); the set is small, so a
+        # driver-side collect into the UDF closure is the right shape
+        counts = (b.select(F.explode(F.split("name_norm", " ")).alias("w"))
+                  .filter(F.col("w") != "")
+                  .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+        mx = counts.agg(F.max("c")).first()[0] or 0
+        word_set |= {
+            r["w"] for r in counts.filter(
+                F.col("c") > mx * config.cut_off_no_scoring_words).collect()
+        }
+    if word_set:
+        from .operators.scoring import postprocess_rescore
+        winners = postprocess_rescore(winners, frozenset(word_set),
+                                      metrics=config.metrics)
+
     fuzzy = (
-        best_matches(scored, config.number_of_matches)
+        winners
         .select(GROUP_COL, F.col("qid").alias("a_id"),
                 F.col("mid").alias("b_id"),
                 F.col("query_name").alias("original_name"),
