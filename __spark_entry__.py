@@ -119,6 +119,16 @@ def _q_cosine_topk(spark, sf_dir):
     return top.select("qid", "mid", "rank")
 
 
+def _q_prefix_cosine_topk(spark, sf_dir):
+    """Scale-path blocker: prefix-filtered candidates + exact cosine."""
+    from name_matching_spark.operators.blocking import prefix_filtered_top_n
+
+    m_w, q_w, idf = _tfidf_parts(spark, sf_dir)
+    top = prefix_filtered_top_n(q_w, m_w, idf, top_n=3, prefix_size=6,
+                                df_cap_frac=None, round_decimals=9)
+    return top.select("qid", "mid", "rank")
+
+
 def _q_exact_join(spark, sf_dir):
     p = _read(spark, sf_dir, "part")
     a = p.select(F.col("p_partkey").alias("a_id"),
@@ -323,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_df": _q_ngram_df,
         "tfidf_master_weights": _q_tfidf_weights,
         "cosine_topk": _q_cosine_topk,
+        "prefix_cosine_topk": _q_prefix_cosine_topk,
         "exact_join": _q_exact_join,
         "anti_join": _q_anti_join,
         "group_exact_join": _q_group_exact_join,
@@ -439,6 +450,77 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY qid
                            ORDER BY cosine DESC, mid ASC) AS rank
                 FROM cos
+            )
+            SELECT qid, mid, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "prefix_cosine_topk": f"""
+            WITH grams AS ({_PART_GRAMS_SQL}),
+            tf AS (SELECT id, ngram, CAST(count(*) AS DOUBLE) AS tf
+                   FROM grams GROUP BY id, ngram),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM part),
+            dfreq AS (SELECT ngram, CAST(count(*) AS DOUBLE) AS df
+                      FROM tf GROUP BY ngram),
+            idf AS (SELECT dfreq.ngram, dfreq.df,
+                           ln((1 + n.n_docs) / (1 + dfreq.df)) + 1 AS idf
+                    FROM dfreq, n),
+            wt AS (SELECT tf.id, tf.ngram, tf.tf * idf.idf AS tfidf
+                   FROM tf JOIN idf USING (ngram)),
+            s AS (SELECT id, sum(tfidf) AS st FROM wt GROUP BY id),
+            mw AS (SELECT wt.id, wt.ngram, wt.tfidf / s.st AS weight
+                   FROM wt JOIN s USING (id)),
+            qnames AS ({_QUERY_NAMES_SQL}),
+            qg AS (
+                SELECT id, substring(name, t.i, 2) AS ngram FROM qnames,
+                LATERAL (SELECT unnest(generate_series(1, length(name) - 1))
+                         AS i) t
+                UNION ALL
+                SELECT id, substring(name, t.i, 3) AS ngram FROM qnames,
+                LATERAL (SELECT unnest(generate_series(1, length(name) - 2))
+                         AS i) t
+                WHERE length(name) >= 3
+            ),
+            qtf AS (SELECT id, ngram, CAST(count(*) AS DOUBLE) AS tf
+                    FROM qg GROUP BY id, ngram),
+            qw0 AS (SELECT qtf.id, qtf.ngram, qtf.tf * idf.idf AS tfidf
+                    FROM qtf JOIN idf USING (ngram)),
+            qs AS (SELECT id, sqrt(sum(tfidf * tfidf)) AS l2
+                   FROM qw0 GROUP BY id),
+            qw AS (SELECT qw0.id, qw0.ngram, qw0.tfidf / qs.l2 AS weight
+                   FROM qw0 JOIN qs USING (id)),
+            qpref AS (
+                SELECT id, ngram FROM (
+                    SELECT qw.id, qw.ngram,
+                           row_number() OVER (PARTITION BY qw.id
+                               ORDER BY idf.df ASC, qw.ngram ASC) AS r
+                    FROM qw JOIN idf USING (ngram)
+                ) WHERE r <= 6
+            ),
+            mpref AS (
+                SELECT id, ngram FROM (
+                    SELECT mw.id, mw.ngram,
+                           row_number() OVER (PARTITION BY mw.id
+                               ORDER BY idf.df ASC, mw.ngram ASC) AS r
+                    FROM mw JOIN idf USING (ngram)
+                ) WHERE r <= 6
+            ),
+            cand AS (
+                SELECT DISTINCT q.id AS qid, m.id AS mid
+                FROM qpref q JOIN mpref m USING (ngram)
+            ),
+            cos AS (
+                SELECT c.qid, c.mid,
+                       round(sum(qw.weight * mw.weight), 9) AS cosine
+                FROM cand c
+                JOIN qw ON qw.id = c.qid
+                JOIN mw ON mw.id = c.mid AND mw.ngram = qw.ngram
+                GROUP BY c.qid, c.mid
+            ),
+            ranked AS (
+                SELECT qid, mid,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, mid ASC) AS rank
+                FROM cos WHERE cosine > 0
             )
             SELECT qid, mid, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
