@@ -137,6 +137,12 @@ def replace_rules(
 
     begin_end=True replaces only at string start/end (legal suffix mode);
     begin_end=False replaces every whole-word occurrence (common-word mode).
+
+    Matched text is treated as literal (re.escape); the reference interpolates
+    it unescaped (name_matcher.py:298-315), which would misfire or throw on
+    dictionary rows containing regex metacharacters (e.g. legal_names.csv
+    "professional limited liability co. ").  Replacement goes through a
+    callable so backslashes in rule text can never be interpreted.
     """
     if delete:
         rules = sorted(rules, key=lambda r: len(r[1]), reverse=True)
@@ -144,14 +150,113 @@ def replace_rules(
         for abbreviation, long_name in rules:
             if name.startswith(long_name) or name.endswith(long_name):
                 repl = "" if delete else abbreviation
-                name = re.sub(rf"\b{long_name}$", repl, name)
-                name = re.sub(rf"^{long_name}\b", repl, name)
+                pat = re.escape(long_name)
+                name = re.sub(rf"\b{pat}$", lambda _m: repl, name)
+                name = re.sub(rf"^{pat}\b", lambda _m: repl, name)
     else:
         for abbreviation, long_name in rules:
             if long_name in name:
                 repl = "" if delete else abbreviation
-                name = re.sub(rf"\b{long_name}\b", repl, name)
+                name = re.sub(rf"\b{re.escape(long_name)}\b", lambda _m: repl, name)
     return name
+
+
+# ---------------------------------------------------------------------------
+# Fast rule application (exact-equivalent, precompiled)
+# ---------------------------------------------------------------------------
+
+_WORD_RUN_RE = re.compile(r"\w+")
+
+
+class CompiledRules:
+    """Precompiled rule structures for the hot per-row path.
+
+    * Common words: the reference applies 776 sequential ``\\bword\\b``
+      passes (name_matcher.py:317-348).  When every rule word is a pure
+      ``\\w+`` token with no duplicate words and no rule word occurring
+      inside any short form (all three hold for the shipped table, asserted
+      in tests), one pass replacing each maximal word-run via dict lookup is
+      exactly equivalent — O(len(name)) instead of O(rules x len(name)).
+    * Legal suffixes: sequential order is semantic (each applied rule edits
+      the name seen by later rules), so the loop is kept, but rules are
+      bucketed by first/last character of the matched text: a rule can only
+      fire when name.startswith/endswith(long_name), which requires
+      first-char or last-char equality, so non-bucket rules are skipped
+      without the two string compares.
+    """
+
+    __slots__ = ("legal_rules", "legal_by_first", "legal_by_last",
+                 "common_rules", "common_word_map")
+
+    def __init__(self, legal_rules, common_rules):
+        self.legal_rules = list(legal_rules)
+        self.legal_by_first: dict[str, list[int]] = {}
+        self.legal_by_last: dict[str, list[int]] = {}
+        for i, (_abbr, long_name) in enumerate(self.legal_rules):
+            if not long_name:
+                continue
+            self.legal_by_first.setdefault(long_name[0], []).append(i)
+            self.legal_by_last.setdefault(long_name[-1], []).append(i)
+        self.common_rules = list(common_rules)
+        word_map: dict[str, str] | None = {}
+        seen_words = set()
+        for word, short in self.common_rules:
+            if _WORD_RUN_RE.fullmatch(word) is None or word in seen_words:
+                word_map = None
+                break
+            seen_words.add(word)
+            word_map[word] = short
+        if word_map is not None:
+            # a short form containing a rule word as a word-run would let a
+            # later sequential pass rewrite an earlier replacement
+            for _w, short in self.common_rules:
+                if any(run in seen_words
+                       for run in _WORD_RUN_RE.findall(short)):
+                    word_map = None
+                    break
+        self.common_word_map = word_map
+
+    def apply_legal(self, name: str, delete: bool = False) -> str:
+        """Begin/end legal replacement, rule order preserved, bucket-gated."""
+        if delete:
+            # delete mode re-sorts rules by length (reference
+            # name_matcher.py:407-408); rare path, use the generic loop
+            return replace_rules(name, self.legal_rules,
+                                 begin_end=True, delete=True)
+        pos = 0
+        while True:
+            if not name:
+                return name
+            cands = sorted(
+                set(self.legal_by_first.get(name[0], ()))
+                | set(self.legal_by_last.get(name[-1], ())))
+            changed = False
+            for idx in cands:
+                if idx < pos:
+                    continue
+                abbreviation, long_name = self.legal_rules[idx]
+                if name.startswith(long_name) or name.endswith(long_name):
+                    pat = re.escape(long_name)
+                    new = re.sub(rf"\b{pat}$", lambda _m: abbreviation, name)
+                    new = re.sub(rf"^{pat}\b", lambda _m: abbreviation, new)
+                    if new != name:
+                        # name edges changed: later rules must see the new
+                        # name, so rebuild the candidate list from idx+1
+                        name = new
+                        pos = idx + 1
+                        changed = True
+                        break
+            if not changed:
+                return name
+
+    def apply_common(self, name: str) -> str:
+        """Whole-word common-word abbreviation (single pass when safe)."""
+        if self.common_word_map is not None:
+            wm = self.common_word_map
+            return _WORD_RUN_RE.sub(
+                lambda m: wm.get(m.group(0), m.group(0)), name)
+        return replace_rules(
+            name, [(sf, w) for w, sf in self.common_rules], begin_end=False)
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +290,8 @@ class PreprocessConfig:
 
 
 @lru_cache(maxsize=8)
-def _compiled_rules(cfg: PreprocessConfig):
-    return cfg.resolved_legal_rules(), cfg.resolved_common_rules()
+def _compiled_rules(cfg: PreprocessConfig) -> CompiledRules:
+    return CompiledRules(cfg.resolved_legal_rules(), cfg.resolved_common_rules())
 
 
 def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> str:
@@ -199,16 +304,16 @@ def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> st
     if cfg.lowercase:
         name = name.lower()
     if cfg.preprocess_legal or cfg.make_abbreviations:
-        legal_rules, common_rules = _compiled_rules(cfg)
+        compiled = _compiled_rules(cfg)
         if cfg.preprocess_legal:
-            name = replace_rules(name, legal_rules,
-                                 begin_end=cfg.begin_end_legal,
-                                 delete=cfg.delete_legal)
+            if cfg.begin_end_legal:
+                name = compiled.apply_legal(name, delete=cfg.delete_legal)
+            else:
+                name = replace_rules(name, compiled.legal_rules,
+                                     begin_end=False,
+                                     delete=cfg.delete_legal)
         if cfg.make_abbreviations:
-            # common rules are stored (word, short_form); replace_rules
-            # expects (replacement, matched_text)
-            name = replace_rules(
-                name, [(sf, w) for w, sf in common_rules], begin_end=False)
+            name = compiled.apply_common(name)
     if cfg.non_word_characters:
         name = clean_non_word(name)
     return name

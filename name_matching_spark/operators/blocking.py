@@ -30,12 +30,21 @@ from .tfidf import GROUP_COL
 
 
 def cap_hot_ngrams(weights: DataFrame, idf: DataFrame,
-                   df_cap_frac: float | None) -> DataFrame:
-    """Drop n-grams with df > df_cap_frac * n_docs from a weights table."""
+                   df_cap_frac: float | None,
+                   min_docs: int = 100) -> DataFrame:
+    """Drop n-grams with df > df_cap_frac * n_docs from a weights table.
+
+    ``min_docs`` is an absolute floor: a gram kept by fewer than that many
+    documents is never capped, whatever the fraction says.  The cap exists
+    to bound posting-list *length* (join output per gram <= df_q * df_m);
+    a <=100-doc posting list is harmless at any corpus size, while at small
+    block sizes a bare fraction would throw away the whole vocabulary
+    (3-doc block: every gram has df/n >= 1/3)."""
     if df_cap_frac is None:
         return weights
     keep = idf.filter(
-        F.col("df") <= F.col("n_docs") * F.lit(df_cap_frac)
+        F.col("df") <= F.greatest(F.lit(float(min_docs)),
+                                  F.col("n_docs") * F.lit(df_cap_frac))
     ).select(GROUP_COL, "ngram")
     return weights.join(F.broadcast(keep), [GROUP_COL, "ngram"], "left_semi")
 

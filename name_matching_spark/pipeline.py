@@ -55,7 +55,10 @@ class MatchConfig:
     metrics: tuple = DEFAULT_METRICS
     ngram_range: tuple = (2, 3)
     preprocess: PreprocessConfig = PreprocessConfig()
-    df_cap_frac: float | None = None  # hot-ngram cap for the blocking join
+    # hot-ngram cap for the blocking join; ON by default -- the uncapped
+    # exact inverted-index join is quadratic in hot n-grams and must be
+    # opted into (df_cap_frac=None), never stumbled into
+    df_cap_frac: float | None = 0.25
     number_of_matches: int = 1
     cache_intermediates: bool = True
     # second candidate search on common-word-reduced query names
@@ -64,8 +67,13 @@ class MatchConfig:
     preprocess_split: bool = False
     # when set, candidate generation uses prefix-filtered blocking
     # (operators/blocking.py::prefix_filtered_top_n) -- the near-linear
-    # scale path; None = exact inverted-index join (small/medium blocks)
+    # scale path.  None = auto: the exact inverted-index join is used only
+    # while every block is below ``auto_prefix_threshold`` docs on the
+    # master side; bigger blocks switch to the prefix path (the plan you
+    # want at 100x -- join output stays near-linear in corpus size)
     prefix_size: int | None = None
+    auto_prefix_threshold: int = 20_000
+    auto_prefix_size: int = 6
     # postprocess word-stripped re-scoring of winners (reference
     # legal_suffixes / common_words flags, name_matcher.py:158-176,984-1009)
     legal_suffixes: bool = False
@@ -161,12 +169,18 @@ def match_names(
         a, b = cache(a), cache(b)
 
     # --- exact-match short-circuit (run_nm.py:106-144) -------------------
+    # empty names are excluded from the equi-join: extract_name falls back
+    # to "" for pages with no recognizable name, and a shared "" key would
+    # cross-join every no-name row on both sides as a score-100 "exact"
+    # match AND be a pathologically hot join key
     exact = (
-        a.select(GROUP_COL, F.col("id").alias("a_id"),
-                 F.col("name_light").alias("original_name"), "name_light")
+        a.filter(F.col("name_light") != "")
+        .select(GROUP_COL, F.col("id").alias("a_id"),
+                F.col("name_light").alias("original_name"), "name_light")
         .join(
-            b.select(GROUP_COL, F.col("id").alias("b_id"),
-                     F.col("name_light").alias("match_name"), "name_light"),
+            b.filter(F.col("name_light") != "")
+            .select(GROUP_COL, F.col("id").alias("b_id"),
+                    F.col("name_light").alias("match_name"), "name_light"),
             [GROUP_COL, "name_light"],
         )
         .select(GROUP_COL, "a_id", "b_id", "original_name", "match_name",
@@ -176,30 +190,47 @@ def match_names(
                        a["id"] == F.col("a_id"), "left_anti")
 
     # --- fuzzy path on the remainder -------------------------------------
+    remainder = remainder.filter(F.col("name_norm") != "")
     m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
     q_tf = explode_char_ngrams(remainder, "id", "name_norm",
                                config.ngram_range)
-    idf = cache(idf_table(m_tf, doc_count_table(b, "id")))
+    doc_counts = doc_count_table(b, "id")
+    idf = cache(idf_table(m_tf, doc_counts))
     m_w = master_weights(m_tf, idf)
     q_w = query_weights(q_tf, idf)
 
-    def _candidates():
+    def _resolve_prefix_size() -> int | None:
+        """Auto plan choice: the exact inverted-index join's output is
+        Sum_g df_q(g)*df_m(g) -- fine for small blocks, quadratic in hot
+        n-grams beyond ~10^4 docs per block.  Above the threshold, switch
+        to the near-linear prefix-filtered blocker.  The probe is one agg
+        over the (tiny, per-group) doc-count table."""
         if config.prefix_size is not None:
-            from .operators.blocking import prefix_filtered_top_n
-            cand = prefix_filtered_top_n(
-                q_w, m_w, idf, config.top_n,
-                prefix_size=config.prefix_size,
-                df_cap_frac=config.df_cap_frac)
-        else:
-            cand = cosine_top_n(q_w, m_w, config.top_n, idf=idf,
+            return config.prefix_size
+        max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0
+        if max_block > config.auto_prefix_threshold:
+            return config.auto_prefix_size
+        return None
+
+    def _candidates():
+        prefix_size = _resolve_prefix_size()
+
+        def _gen(qw):
+            if prefix_size is not None:
+                from .operators.blocking import prefix_filtered_top_n
+                return prefix_filtered_top_n(
+                    qw, m_w, idf, config.top_n,
+                    prefix_size=prefix_size,
+                    df_cap_frac=config.df_cap_frac)
+            return cosine_top_n(qw, m_w, config.top_n, idf=idf,
                                 df_cap_frac=config.df_cap_frac)
+
+        cand = _gen(q_w)
         if config.preprocess_split:
             reduced = reduce_query_names(remainder)
             q_tf2 = explode_char_ngrams(reduced, "id", "name_norm",
                                         config.ngram_range)
-            cand2 = cosine_top_n(query_weights(q_tf2, idf), m_w,
-                                 config.top_n, idf=idf,
-                                 df_cap_frac=config.df_cap_frac)
+            cand2 = _gen(query_weights(q_tf2, idf))
             # union of both candidate sets (reference hstacks positions;
             # duplicates don't change the argmax, so distinct is safe)
             cand = (cand.unionByName(cand2)

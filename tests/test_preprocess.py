@@ -54,7 +54,11 @@ def test_clean_non_word_keeps_amp_hash_dash():
 
 def test_unicode_to_ascii():
     assert unicode_to_ascii("Ångström") == "Angstrom"
-    assert unicode_to_ascii("Ærø Søby") == "AEro Soby"
+    # the reference transliteration map has lowercase keys only
+    # (data/transliterations.py), so uppercase Æ is dropped by the ASCII
+    # encode — byte-parity with the reference, which runs ascii before lower
+    assert unicode_to_ascii("Ærø Søby") == "ro Soby"
+    assert unicode_to_ascii("ærø søby") == "aero soby"
     assert unicode_to_ascii("straße") == "strasse"
 
 
