@@ -185,9 +185,13 @@ def time_scoring(cores: int, pairs_path: str, trials: int = 3) -> dict:
 
     spark = _fresh_spark(cores, shuffle=max(2 * cores, 16))
     try:
+        # 10k-row Arrow batches amortize the JVM<->Python crossing now that
+        # the kernel is numpy-batched (it chunks internally for cache
+        # locality); 2 partitions per core balances stragglers vs per-task
+        # overhead (measured best at every core count)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       "2048")
-        df = spark.read.parquet(pairs_path).repartition(4 * cores)
+                       "10000")
+        df = spark.read.parquet(pairs_path).repartition(2 * cores)
         df = df.persist()
         n_pairs = df.count()
         udf = score_mean_udf()

@@ -341,20 +341,62 @@ def sim_iterative_sub_string(src: str, tar: str, hamacher: float = 0.6) -> float
     return (corr + 1.0) / 2.0
 
 
-def sim_ratcliff_obershelp(src: str, tar: str) -> float:
-    """Ratcliff-Obershelp gestalt similarity 2M/(len_a+len_b).
+def _gestalt_total(a: str, b: str) -> int:
+    """Total matching-block characters, difflib.SequenceMatcher semantics
+    with autojunk=False (earliest-maximal block, recursive peeling).
 
-    difflib.SequenceMatcher with autojunk=False implements exactly this
-    algorithm with the same earliest-maximal-block tie-break as the
-    published recursive formulation (validated against the reference's
-    golden values and 480 corpus pairs); it is ~5x faster than a naive
-    O(n*m) matrix per recursion.
+    Specialized re-derivation of difflib's find_longest_match inner loop
+    without the class setup, Match tuples, autojunk scan and block
+    merge/sort that ratio() pays for -- ~1.3x faster, asserted
+    total-identical to difflib over golden + fuzz corpora in tests.
     """
+    b2j: dict[str, list[int]] = {}
+    for j, c in enumerate(b):
+        b2j.setdefault(c, []).append(j)
+    get = b2j.get
+    total = 0
+    stack = [(0, len(a), 0, len(b))]
+    while stack:
+        alo, ahi, blo, bhi = stack.pop()
+        besti = alo
+        bestj = blo
+        bestsize = 0
+        j2len: dict[int, int] = {}
+        for i in range(alo, ahi):
+            newj2len: dict[int, int] = {}
+            j2get = j2len.get
+            for j in get(a[i], ()):
+                if j < blo:
+                    continue
+                if j >= bhi:
+                    break
+                k = newj2len[j] = j2get(j - 1, 0) + 1
+                if k > bestsize:
+                    besti = i - k + 1
+                    bestj = j - k + 1
+                    bestsize = k
+            j2len = newj2len
+        if bestsize:
+            total += bestsize
+            if alo < besti and blo < bestj:
+                stack.append((alo, besti, blo, bestj))
+            ie = besti + bestsize
+            je = bestj + bestsize
+            if ie < ahi and je < bhi:
+                stack.append((ie, ahi, je, bhi))
+    return total
+
+
+def sim_ratcliff_obershelp(src: str, tar: str) -> float:
+    """Ratcliff-Obershelp gestalt similarity 2M/(len_a+len_b)
+    (difflib.SequenceMatcher(autojunk=False).ratio() semantics, same
+    earliest-maximal-block tie-break as the published recursive
+    formulation; validated against the reference's golden values)."""
     if src == tar:
         return 1.0
     if not src or not tar:
         return 0.0
-    return SequenceMatcher(None, src, tar, autojunk=False).ratio()
+    return 2.0 * _gestalt_total(src, tar) / (len(src) + len(tar))
 
 
 # ---------------------------------------------------------------------------
@@ -506,10 +548,23 @@ def sim_ncd_bz2(src: str, tar: str, level: int = 9) -> float:
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=65536)
+def _token_sort_key(s: str) -> str:
+    return " ".join(sorted(regexp_tokens(s)))
+
+
 def sim_fuzzy_wuzzy_token_sort(src: str, tar: str) -> float:
-    s = " ".join(sorted(regexp_tokens(src)))
-    t = " ".join(sorted(regexp_tokens(tar)))
-    return SequenceMatcher(None, s, t).ratio()
+    s = _token_sort_key(src)
+    t = _token_sort_key(tar)
+    if s == t:
+        return 1.0  # ratio() of identical strings is 1.0 (incl. "" vs "")
+    if len(s) >= 200 or len(t) >= 200:
+        # the scalar reference uses SequenceMatcher's DEFAULT autojunk,
+        # whose popularity filter activates at len(b) >= 200
+        return SequenceMatcher(None, s, t).ratio()
+    if not s or not t:
+        return 0.0
+    return 2.0 * _gestalt_total(s, t) / (len(s) + len(t))
 
 
 def sim_fuzzy_wuzzy_partial_string(src: str, tar: str) -> float:

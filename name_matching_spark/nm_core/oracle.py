@@ -45,8 +45,12 @@ class OracleMatcher:
         legal_suffixes: bool = False,
         common_words: bool = False,
         cut_off: float = 0.01,
+        prefix_size: int | None = None,
+        df_cap_frac: float | None = 0.25,
     ):
         self.top_n = top_n
+        self.prefix_size = prefix_size
+        self.df_cap_frac = df_cap_frac
         self.fns = flat_metric_fns(metrics)
         self.cfg = cfg
         self._legal_suffixes = legal_suffixes
@@ -74,7 +78,12 @@ class OracleMatcher:
 
     def match(self, query_names: list[str]) -> list[OracleMatch]:
         queries = [preprocess_name(n, self.cfg) for n in query_names]
-        cand_lists = self.oracle.top_n(queries, self.top_n)
+        if self.prefix_size is not None:
+            cand_lists = self.oracle.top_n_prefix(
+                queries, self.top_n, prefix_size=self.prefix_size,
+                df_cap_frac=self.df_cap_frac)
+        else:
+            cand_lists = self.oracle.top_n(queries, self.top_n)
         out: list[OracleMatch] = []
         for qid, (q, cands) in enumerate(zip(queries, cand_lists)):
             if not cands:
@@ -96,6 +105,61 @@ class OracleMatcher:
                 score = 100.0 * sum(scores) / len(scores)
             out.append(OracleMatch(qid, q, match_id, match_name, score))
         return out
+
+
+def run_nm_oracle_pairs(
+    names_a: list[str],
+    names_b: list[str],
+    threshold: float = 95.0,
+    **matcher_kwargs,
+) -> list[tuple[int, int, float, str]]:
+    """match_names-shaped oracle at pair granularity, mirroring the Spark
+    pipeline's exact-join semantics: ALL (a, b) pairs with equal non-empty
+    light names (score 100, source 'exact'), then the fuzzy best match for
+    every unmatched a above threshold.  Returns (i, j, score, source)."""
+    la = [light_preprocess_name(n) for n in names_a]
+    lb = [light_preprocess_name(n) for n in names_b]
+    b_map: dict[str, list[int]] = {}
+    for j, n in enumerate(lb):
+        if n:
+            b_map.setdefault(n, []).append(j)
+    rows: list[tuple[int, int, float, str]] = []
+    unmatched: list[int] = []
+    for i, n in enumerate(la):
+        if n and n in b_map:
+            rows.extend((i, j, 100.0, "exact") for j in b_map[n])
+        else:
+            unmatched.append(i)
+    if unmatched:
+        m = OracleMatcher(**matcher_kwargs)
+        m.load_master(lb)
+        for i, om in zip(unmatched, m.match([la[i] for i in unmatched])):
+            if om.match_id is not None and om.score > threshold:
+                rows.append((i, om.match_id, om.score, "fuzzy"))
+    return [r for r in rows if r[2] > threshold]
+
+
+def connected_components_local(
+    edges: list[tuple[str, str]],
+) -> dict[str, str]:
+    """Union-find transitive closure; component = min node id (string
+    order), the same labeling the Spark hash-min operator converges to."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
 
 
 def run_nm_oracle(

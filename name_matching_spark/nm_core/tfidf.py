@@ -52,9 +52,10 @@ class TfidfOracle:
             df_counter.update(set(char_ngrams(d, self.ngram_range)))
         vocab = sorted(df_counter)
         self.vocabulary_ = {t: i for i, t in enumerate(vocab)}
-        n = len(docs)
-        df = np.array([df_counter[t] for t in vocab], dtype=np.float64)
-        self.idf_ = np.log((1.0 + n) / (1.0 + df)) + 1.0
+        self.n_docs_ = len(docs)
+        self.df_ = np.array([df_counter[t] for t in vocab],
+                            dtype=np.float64)
+        self.idf_ = np.log((1.0 + self.n_docs_) / (1.0 + self.df_)) + 1.0
         return self
 
     def transform(self, docs: list[str], sum_normalize: bool = False) -> np.ndarray:
@@ -80,6 +81,69 @@ class TfidfOracle:
         self.master_matrix_ = self.transform(docs, sum_normalize=True)
         return self
 
+    def top_n_prefix(
+        self,
+        queries: list[str],
+        top_n: int = 50,
+        prefix_size: int = 6,
+        df_cap_frac: float | None = 0.25,
+        posting_cap: int | None = 2000,
+        min_docs: int = 100,
+    ) -> list[list[tuple[int, float]]]:
+        """Oracle twin of operators/blocking.py::prefix_filtered_top_n
+        (same semantics step for step): df-capped weights, per-document
+        ``prefix_size`` rarest grams (df asc, gram asc), posting lists
+        truncated to the first ``posting_cap`` ids ascending on BOTH
+        sides, candidates from shared prefix grams, exact cosine over the
+        capped vectors, per-query (cosine DESC, master ASC) top-n."""
+        q = self.transform(queries, sum_normalize=False)
+        m = self.master_matrix_
+        vocab_terms = sorted(self.vocabulary_)
+        if df_cap_frac is not None:
+            keep = self.df_ <= max(float(min_docs),
+                                   self.n_docs_ * df_cap_frac)
+            q = q * keep
+            m = m * keep
+
+        def prefixes(mat: np.ndarray) -> list[list[int]]:
+            out = []
+            for row in mat:
+                nz = np.nonzero(row != 0)[0]
+                ranked = sorted(nz, key=lambda j: (self.df_[j],
+                                                   vocab_terms[j]))
+                out.append(ranked[:prefix_size])
+            return out
+
+        q_pref = prefixes(q)
+        m_pref = prefixes(m)
+        m_postings: dict[int, list[int]] = {}
+        for mid, grams in enumerate(m_pref):       # mid ascending
+            for j in grams:
+                m_postings.setdefault(j, []).append(mid)
+        q_postings: dict[int, list[int]] = {}
+        for qid, grams in enumerate(q_pref):
+            for j in grams:
+                q_postings.setdefault(j, []).append(qid)
+        if posting_cap is not None:
+            m_postings = {j: v[:posting_cap] for j, v in m_postings.items()}
+            q_postings = {j: v[:posting_cap] for j, v in q_postings.items()}
+        cand: list[set[int]] = [set() for _ in queries]
+        for j, mids in m_postings.items():
+            for qid in q_postings.get(j, ()):
+                cand[qid].update(mids)
+        results = []
+        for qid, mids in enumerate(cand):
+            scored = []
+            for mid in mids:
+                # 9-dp rounding before ranking, like the Spark pipeline:
+                # tie order must not depend on float summation order
+                cos = round(float(q[qid] @ m[mid]), 9)
+                if cos > 0:
+                    scored.append((cos, mid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            results.append([(mid, cos) for cos, mid in scored[:top_n]])
+        return results
+
     def top_n(self, queries: list[str], top_n: int = 50) -> list[list[tuple[int, float]]]:
         """Per query: [(master_id, cosine)...] sorted by (-cosine, master_id),
         nonzero scores only, at most top_n."""
@@ -88,7 +152,8 @@ class TfidfOracle:
         results = []
         for row in scores:
             nz = np.nonzero(row > 0)[0]
-            order = sorted(((float(row[m]), int(m)) for m in nz),
+            # 9-dp rounding before ranking (see top_n_prefix)
+            order = sorted(((round(float(row[m]), 9), int(m)) for m in nz),
                            key=lambda t: (-t[0], t[1]))[:top_n]
-            results.append([(m, s) for s, m in order])
+            results.append([(m, s) for s, m in order if s > 0])
         return results

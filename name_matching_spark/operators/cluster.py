@@ -5,7 +5,10 @@ the user (README.md:77-79); the north rule requires transitive-closure
 clustering of the match-edge DataFrame.  Implemented as the classic
 large-graph hash-min label propagation: every node repeatedly adopts the
 minimum component id among itself and its neighbours until fixpoint --
-O(log n) rounds on name-cluster graphs (typically 2-3).
+O(graph diameter) rounds, which on name-match graphs (star-shaped
+clusters around a canonical name) is typically 2-3.  Long chains need
+more rounds; exhausting ``max_iterations`` without convergence raises
+rather than silently returning split components.
 
 Scale notes: each round is one shuffle (groupBy node); lineage is cut every
 round with localCheckpoint so the plan doesn't grow; convergence is checked
@@ -44,6 +47,7 @@ def connected_components(
         sym = sym.localCheckpoint()
         labels = labels.localCheckpoint()
 
+    changed = None
     for _ in range(max_iterations):
         # candidate label per node: min over neighbours' current labels
         neighbour_min = (
@@ -71,6 +75,13 @@ def connected_components(
         labels = new_labels.drop("changed")
         if not changed:
             break
+    if changed:
+        # partially-converged labels would silently split components
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (last round still changed "
+            f"{changed} labels); raise max_iterations -- rounds scale "
+            f"with graph diameter")
     return labels
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -60,37 +61,54 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16,
+                       hash_mode: str = "xxhash64") -> DataFrame:
     """-> (id, seed, minhash): per-document MinHash signature, long form.
 
-    h_seed(s) = md5('<seed>|' || s); the min over a document's shingles of a
-    pairwise-independent-ish hash family.  Long form keeps it joinable and
-    avoids array-ordering pitfalls.
+    Two hash families:
+
+    * ``xxhash64`` (default, production): h_seed(s) = xxhash64(seed, s) --
+      a JVM-side 64-bit int hash, no string materialization; minhash is a
+      plain long.  ~an order of magnitude fewer bytes shuffled and hashed
+      than the hex mode; this is what you run at 100 TB.
+    * ``md5`` (oracle mode): h_seed(s) = md5('<seed>|' || s) hex string,
+      bit-identical to the DuckDB correctness oracle; minimizing the hex
+      string lexicographically is order-isomorphic to minimizing the
+      128-bit integer.
+
+    Long form keeps signatures joinable and avoids array-ordering pitfalls.
     """
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        shingles.select("id", "shingle", seeds)
-        .withColumn(
-            "h", F.md5(F.concat_ws("|", F.col("seed").cast("string"),
-                                   F.col("shingle"))))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    base = shingles.select("id", "shingle", seeds)
+    if hash_mode == "xxhash64":
+        h = F.xxhash64(F.col("seed"), F.col("shingle"))
+    elif hash_mode == "md5":
+        h = F.md5(F.concat_ws("|", F.col("seed").cast("string"),
+                              F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return (base.withColumn("h", h)
+            .groupBy("id", "seed")
+            .agg(F.min("h").alias("minhash")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """-> (id_a, id_b): pairs agreeing on at least one LSH band.
 
-    rows_per_band = num_hashes / bands; band hash = md5 of the concatenated
-    per-seed minhashes inside the band.
+    rows_per_band = num_hashes / bands; band key = hash of the sorted
+    (seed, minhash) rows inside the band -- xxhash64 of the struct array
+    for long signatures (pure JVM), md5 of the concatenated strings for
+    hex signatures (DuckDB-reproducible).
     """
     sig = signatures.withColumn("band", F.col("seed") % bands)
-    band_hash = (
-        sig.groupBy("id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(
+    if dict(signatures.dtypes)["minhash"] == "bigint":
+        bh = F.xxhash64(F.sort_array(
+            F.collect_list(F.struct("seed", "minhash"))))
+    else:
+        bh = F.md5(F.concat_ws(",", F.sort_array(
             F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
-                                       F.col("minhash")))))).alias("bh"))
-    )
+                                       F.col("minhash"))))))
+    band_hash = sig.groupBy("id", "band").agg(bh.alias("bh"))
     a = band_hash.select(F.col("id").alias("id_a"), "band", "bh")
     b = band_hash.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -143,19 +161,23 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
-                      min_jaccard: float = 0.5) -> DataFrame:
+                      min_jaccard: float = 0.5,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """Full near-dup path: shingle -> minhash -> band join -> verify.
 
     The shingle table feeds both the signature and the verify stage, so it
     is persisted for the lifetime of the returned plan (one computation
-    instead of three)."""
+    instead of three).  hash_mode="md5" is the DuckDB-reproducible oracle
+    family; the default int family is the production path (see
+    minhash_signatures)."""
     sh = word_shingles(df, id_col, text_col).persist()
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh, num_hashes, hash_mode=hash_mode)
     cand = lsh_candidate_pairs(sig, bands)
     return shingle_jaccard(sh, pairs=cand, min_jaccard=min_jaccard)
 
 
 def _simhash64(tokens: list[str]) -> int:
+    """Reference scalar SimHash (test oracle for the vectorized kernel)."""
     votes = [0] * 64
     for t in tokens:
         h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
@@ -169,14 +191,47 @@ def _simhash64(tokens: list[str]) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+# bit weights in np.unpackbits order: column c of the unpacked (tokens, 64)
+# bit matrix is bit (63 - c) of the big-endian 8-byte hash prefix
+_SIMHASH_WEIGHTS = (1 << np.arange(63, -1, -1).astype(np.uint64))
+
+
+def _simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vector of _simhash64 values: md5 per DISTINCT token (cached across
+    the batch -- web-text vocabulary repeats heavily), then one numpy
+    unpackbits + sum for the 64-way bit vote instead of a 64-iteration
+    Python inner loop per token."""
+    digest_cache: dict[str, bytes] = {}
+    out = np.empty(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        tokens = str(text).lower().split()
+        if not tokens:
+            out[i] = 0
+            continue
+        bufs = []
+        for t in tokens:
+            d = digest_cache.get(t)
+            if d is None:
+                d = hashlib.md5(t.encode()).digest()[:8]
+                digest_cache[t] = d
+            bufs.append(d)
+        mat = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(-1, 8)
+        bits = np.unpackbits(mat, axis=1)          # (tokens, 64) MSB-first
+        pos = bits.sum(axis=0, dtype=np.int64)     # votes = 2*pos - n
+        mask = pos * 2 > len(tokens)               # votes > 0
+        val = (_SIMHASH_WEIGHTS[mask]).sum(dtype=np.uint64)
+        out[i] = int(val) - (1 << 64) if int(val) >= (1 << 63) else int(val)
+    return out
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (id, simhash): 64-bit SimHash over lowercase word tokens
-    (Arrow-batched pandas UDF -- the bit-vote loop has no JVM expression)."""
+    (Arrow-batched pandas UDF -- the bit-vote loop has no JVM expression;
+    kernel = _simhash64_batch, value-identical to _simhash64)."""
 
     @F.pandas_udf(LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        return texts.astype("object").map(
-            lambda t: _simhash64(str(t).lower().split()))
+        return pd.Series(_simhash64_batch(list(texts)))
 
     return df.select(F.col(id_col).alias("id"),
                      _sh(F.col(text_col)).alias("simhash"))

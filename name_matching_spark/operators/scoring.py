@@ -14,23 +14,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from ..nm_core.metrics import DEFAULT_METRICS, flat_metric_fns
+from ..nm_core.metrics import DEFAULT_METRICS
 from .tfidf import GROUP_COL
 
 
+def _str_lists(name_a: pd.Series, name_b: pd.Series):
+    return ([str(a) for a in name_a], [str(b) for b in name_b])
+
+
 def score_pairs_udf(metrics=DEFAULT_METRICS):
-    """pandas UDF (name_a, name_b) -> array<double> of per-metric sims."""
+    """pandas UDF (name_a, name_b) -> array<double> of per-metric sims.
+
+    The kernel is nm_core.metrics_batch.score_batch: numpy-vectorized
+    where a batch kernel exists (editex -- the DP half of the default
+    ensemble's cost), scalar metric functions elsewhere; values are
+    bit-identical to the scalar oracle either way."""
     metric_names = tuple(metrics)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _score(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
-        fns = flat_metric_fns(metric_names)  # resolved on the executor
-        return pd.Series(
-            [
-                [fn(str(a), str(b)) for fn in fns]
-                for a, b in zip(name_a, name_b)
-            ]
-        )
+        from ..nm_core.metrics_batch import score_batch
+        a, b = _str_lists(name_a, name_b)
+        return pd.Series(list(score_batch(a, b, metric_names)))
 
     return _score
 
@@ -47,13 +52,9 @@ def score_mean_udf(metrics=DEFAULT_METRICS):
 
     @F.pandas_udf(DoubleType())
     def _score(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
-        fns = flat_metric_fns(metric_names)
-        k = len(fns)
-        out = [
-            sum(fn(str(a), str(b)) for fn in fns) / k
-            for a, b in zip(name_a, name_b)
-        ]
-        return pd.Series(out, dtype="float64")
+        from ..nm_core.metrics_batch import score_batch
+        a, b = _str_lists(name_a, name_b)
+        return pd.Series(score_batch(a, b, metric_names).mean(axis=1))
 
     return _score
 
@@ -87,30 +88,127 @@ def postprocess_rescore(
     query_name_col: str = "query_name",
     cand_name_col: str = "cand_name",
     metrics=DEFAULT_METRICS,
+    number_of_matches: int = 1,
+    slot_col: str | None = None,
 ) -> DataFrame:
     """Reference postprocess (name_matcher.py:984-1009): strip no-scoring
-    words (legal suffixes / corpus-common words) from both names of each
-    *winning* pair and overwrite the score with the re-scored mean x100.
-    Matches stand; only scores change.  Runs on winners only (<= one row
-    per query), so the extra UDF pass is negligible."""
+    words (legal suffixes / corpus-common words) from the query name and
+    all winning alternatives, re-score, and overwrite scores.  Matches
+    stand; only scores change.  Runs on winners only (<= m rows per
+    query), so the extra pass is negligible.
+
+    number_of_matches == 1 (default): one winner per query, score :=
+    100 * stripped mean -- a single vectorized UDF pass.
+
+    number_of_matches > 1: the reference RE-RANKS the stripped scores
+    across the query's alternatives (_rate_matches over the stripped
+    matrix) and assigns score_i from the re-ranking, so slot i's score
+    can come from a different alternative than slot i's match.  That
+    cross-row dependency runs as applyInPandas per query group, slots
+    ordered by ``slot_col``."""
     from ..nm_core.preprocess import strip_words
 
     metric_names = tuple(metrics)
     words = frozenset(word_set)
 
-    @F.pandas_udf(DoubleType())
-    def _rescore(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
-        fns = flat_metric_fns(metric_names)
-        k = len(fns)
-        out = []
-        for a, b in zip(name_a, name_b):
-            a2 = strip_words(str(a), words)
-            b2 = strip_words(str(b), words)
-            out.append(100.0 * sum(fn(a2, b2) for fn in fns) / k)
-        return pd.Series(out, dtype="float64")
+    if number_of_matches <= 1 or slot_col is None:
+        @F.pandas_udf(DoubleType())
+        def _rescore(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
+            from ..nm_core.metrics_batch import score_batch
+            a2 = [strip_words(str(a), words) for a in name_a]
+            b2 = [strip_words(str(b), words) for b in name_b]
+            return pd.Series(100.0 * score_batch(a2, b2, metric_names)
+                             .mean(axis=1))
 
-    return matches.withColumn(
-        "score", _rescore(F.col(query_name_col), F.col(cand_name_col)))
+        return matches.withColumn(
+            "score", _rescore(F.col(query_name_col), F.col(cand_name_col)))
+
+    from ..nm_core.ranking import metric_group_sizes
+    gs = metric_group_sizes(metric_names)
+    schema = matches.schema
+
+    def _pp(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..nm_core.metrics_batch import score_batch
+        from ..nm_core.ranking import rate_matches_local
+        pdf = pdf.sort_values(slot_col).reset_index(drop=True)
+        org = strip_words(str(pdf[query_name_col].iloc[0]), words)
+        alts = [strip_words(str(c), words) for c in pdf[cand_name_col]]
+        mat = score_batch([org] * len(alts), alts, metric_names)
+        ind = rate_matches_local(mat, number_of_matches, gs)
+        for slot in range(min(len(ind), len(pdf))):
+            pdf.loc[slot, "score"] = 100.0 * float(mat[ind[slot]].mean())
+        return pdf
+
+    return matches.groupBy(GROUP_COL, "qid").applyInPandas(_pp, schema)
+
+
+def rate_matches(
+    scored: DataFrame,
+    number_of_matches: int,
+    group_sizes: list[int],
+) -> DataFrame:
+    """O18 ranking variants over a scored candidate table (reference
+    ``_rate_matches`` dispatch, name_matcher.py:896-913; oracle twin:
+    nm_core.ranking.rate_matches_local).
+
+    ``scored`` must carry the per-metric ``scores`` array column
+    (score_candidates keep_scores=True) plus ``mean_score`` and ``rank``
+    (candidate order -- np.argmax's first-maximal tie-break maps to rank
+    ascending).  Returns one row per output slot with ``position`` and
+    ``score`` = 100 * overall mean of the chosen candidate, mirroring
+    _adjust_scores (name_matcher.py:964-982).
+    """
+    n_groups = len(group_sizes)
+    n_metrics = int(sum(group_sizes))
+
+    def _argmax_by(col):
+        w = Window.partitionBy(GROUP_COL, "qid").orderBy(
+            col.desc(), F.col("rank").asc())
+        return F.row_number().over(w)
+
+    base_cols = [c for c in scored.columns if c != "scores"]
+
+    if number_of_matches == 1:
+        picked = (scored.withColumn("__rn", _argmax_by(F.col("mean_score")))
+                  .filter(F.col("__rn") == 1)
+                  .withColumn("position", F.lit(0)))
+    elif number_of_matches == n_groups:
+        parts = []
+        idx = 0
+        for num, size in enumerate(group_sizes):
+            gmean = F.expr(
+                f"aggregate(slice(scores, {idx + 1}, {size}), 0D, "
+                f"(acc, x) -> acc + x) / {size}")
+            parts.append(
+                scored.withColumn("__gm", gmean)
+                .withColumn("__rn", _argmax_by(F.col("__gm")))
+                .filter(F.col("__rn") == 1)
+                .withColumn("position", F.lit(num))
+                .drop("__gm"))
+            idx += size
+        picked = parts[0]
+        for p in parts[1:]:
+            picked = picked.unionByName(p)
+    elif number_of_matches == n_metrics:
+        parts = []
+        for num in range(n_metrics):
+            parts.append(
+                scored.withColumn("__rn", _argmax_by(
+                    F.col("scores")[num]))
+                .filter(F.col("__rn") == 1)
+                .withColumn("position", F.lit(num)))
+        picked = parts[0]
+        for p in parts[1:]:
+            picked = picked.unionByName(p)
+    else:
+        # top-m by mean; ties break on rank (deterministic stand-in for
+        # the reference's unstable np.argsort ties)
+        picked = (scored.withColumn("__rn", _argmax_by(F.col("mean_score")))
+                  .filter(F.col("__rn") <= number_of_matches)
+                  .withColumn("position", F.col("__rn") - 1))
+    return (picked
+            .withColumn("score", F.col("mean_score") * 100.0)
+            .select(*base_cols, "position", "score"))
 
 
 def best_matches(scored: DataFrame, number_of_matches: int = 1) -> DataFrame:

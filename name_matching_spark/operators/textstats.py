@@ -57,12 +57,19 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _n_words(c):
+    """Whitespace token count; 0 for empty/whitespace-only text (split on
+    "" yields [""], which would otherwise count as one token)."""
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(c), r"\s+")))
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (id, ws_tokens, bpe_tokens, n_chars)."""
     c = F.col(text_col)
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.trim(c), r"\s+")).alias("ws_tokens"),
+        _n_words(c).alias("ws_tokens"),
         F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).alias("bpe_tokens"),
         F.length(c).alias("n_chars"),
     )
@@ -77,8 +84,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c = F.col(text_col)
     n_chars = F.length(c)
     n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
-    words = F.split(F.trim(c), r"\s+")
-    n_words = F.size(words)
+    n_words = _n_words(c)
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     stop_hits = F.lit(0)
     for w in STOPWORDS:

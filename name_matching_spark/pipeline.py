@@ -158,6 +158,12 @@ def match_names(
     Returns (a_id, b_id, original_name, match_name, score, source) for rows
     with score > threshold; ``source`` is 'exact' or 'fuzzy'.
     """
+    if checkpoint:
+        # fold the resolved config into stage identity: resuming the same
+        # root with a different MatchConfig must recompute, not serve
+        # tables computed under the old config
+        from .checkpoint import fingerprint_of
+        checkpoint = checkpoint.scoped(fingerprint_of(config))
     cache = ((lambda d: d.persist()) if config.cache_intermediates
              else (lambda d: d))
     a = _prepare(df_a, id_col_a, name_col_a, group_col_a, config.preprocess)
@@ -215,15 +221,22 @@ def match_names(
     def _candidates():
         prefix_size = _resolve_prefix_size()
 
+        # cosines are rounded to 9 decimals before ranking so candidate
+        # order (and thus argmax tie-breaks between equal-scoring masters,
+        # e.g. duplicate names) is independent of float summation order --
+        # Spark's map-fold and the oracle's dense dot would otherwise break
+        # exact ties by 1e-16 noise in opposite directions
         def _gen(qw):
             if prefix_size is not None:
                 from .operators.blocking import prefix_filtered_top_n
                 return prefix_filtered_top_n(
                     qw, m_w, idf, config.top_n,
                     prefix_size=prefix_size,
-                    df_cap_frac=config.df_cap_frac)
+                    df_cap_frac=config.df_cap_frac,
+                    round_decimals=9)
             return cosine_top_n(qw, m_w, config.top_n, idf=idf,
-                                df_cap_frac=config.df_cap_frac)
+                                df_cap_frac=config.df_cap_frac,
+                                round_decimals=9)
 
         cand = _gen(q_w)
         if config.preprocess_split:
@@ -252,13 +265,29 @@ def match_names(
               [GROUP_COL, "mid"])
     )
 
+    # reference _rate_matches dispatch (name_matcher.py:896-913): when
+    # number_of_matches equals the metric-group count or the metric count,
+    # ranking is per-group / per-metric and needs the per-metric scores
+    # array; otherwise the mean-only scoring UDF (half the Arrow volume)
+    from .nm_core.ranking import metric_group_sizes
+    group_sizes = metric_group_sizes(config.metrics)
+    m = config.number_of_matches
+    variant = m != 1 and (m == len(group_sizes) or m == sum(group_sizes))
+
     def _scored():
-        return score_candidates(pairs, metrics=config.metrics)
+        return score_candidates(pairs, metrics=config.metrics,
+                                keep_scores=variant)
 
     scored = (checkpoint.get_or_compute("scored", _scored)
               if checkpoint else _scored())
 
-    winners = best_matches(scored, config.number_of_matches)
+    if variant:
+        from .operators.scoring import rate_matches
+        winners = rate_matches(scored, m, group_sizes)
+        slot_col = "position"
+    else:
+        winners = best_matches(scored, m)
+        slot_col = "match_rank"
 
     # postprocess: overwrite winner scores on word-stripped names
     word_set = set(config.no_scoring_words)
@@ -280,7 +309,9 @@ def match_names(
     if word_set:
         from .operators.scoring import postprocess_rescore
         winners = postprocess_rescore(winners, frozenset(word_set),
-                                      metrics=config.metrics)
+                                      metrics=config.metrics,
+                                      number_of_matches=m,
+                                      slot_col=slot_col)
 
     fuzzy = (
         winners

@@ -53,6 +53,8 @@ def test_lineage_metrics_recorded(spark, tmp_path):
     for stage, m in by_stage.items():
         assert m["rows_out"] > 0
         assert m["wall_ms"] >= 0
-        assert m["input_fingerprint"] == "run-fingerprint-1"
+        # stage identity = input fingerprint + MatchConfig hash (round 2:
+        # resuming under a changed config must not serve stale stages)
+        assert m["input_fingerprint"].startswith("run-fingerprint-1|")
     meta = json.loads((tmp_path / "matches" / "meta.json").read_text())
     assert meta["rows_out"] == by_stage["matches"]["rows_out"]

@@ -71,7 +71,9 @@ def test_cosine_top_n_matches_oracle(spark_weights):
         rows = sorted(by_q.get(qid, []))
         assert [m for _, m, _ in rows] == [m for m, _ in exp]
         for (_, _, cos), (_, exp_cos) in zip(rows, exp):
-            assert cos == pytest.approx(exp_cos, abs=1e-12)
+            # the oracle rounds cosines to 9 dp before ranking (tie
+            # determinism); the raw spark cosine may differ by <= 0.5 ulp9
+            assert cos == pytest.approx(exp_cos, abs=5.1e-10)
 
 
 def test_df_cap_drops_hot_ngrams(spark_weights):
