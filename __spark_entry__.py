@@ -314,6 +314,15 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(e, q, k=5, dim=64, num_planes=6, num_tables=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from name_matching_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+
+
 def _q_media_meta(spark, sf_dir):
     from name_matching_spark.operators.multimodal import decode_media
 
@@ -394,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_parts_e2e": _q_match_parts_e2e,
         "simhash_docs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "cluster_pages_e2e": _q_cluster_pages,
     }
@@ -788,6 +798,51 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN mean_word_len BETWEEN 2.5 AND 12
                              THEN 0.25 ELSE 0.0 END), 2) AS quality
             FROM r
+        """,
+        "ann_ivf_topk": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS vec
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS cid, vec AS cvec
+                FROM v ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+                SELECT vec_id, vec, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY round(list_cosine_similarity(vec, cvec),
+                                          9) DESC, cid ASC) AS rn
+                FROM v CROSS JOIN c
+            ),
+            inv AS (SELECT vec_id, vec, cid FROM assign WHERE rn = 1),
+            q AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 10),
+            probes AS (
+                SELECT qid, qv, cid,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY round(list_cosine_similarity(qv, cvec),
+                                          9) DESC, cid ASC) AS rn
+                FROM q CROSS JOIN c
+            ),
+            p AS (SELECT qid, qv, cid FROM probes WHERE rn <= 4),
+            cand AS (
+                SELECT p.qid, inv.vec_id,
+                       round(list_cosine_similarity(p.qv, inv.vec), 9) AS cos
+                FROM p JOIN inv USING (cid)
+            ),
+            ranked AS (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, vec_id ASC)
+                           AS rank
+                FROM cand
+            )
+            SELECT qid, vec_id, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "rated_matches_groups": r"""
             WITH s AS (

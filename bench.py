@@ -235,10 +235,16 @@ def main():
         # headroom for the JVM's shuffle/Arrow/GC service threads, like
         # real executors with dedicated cores; this is the faithful
         # sandbox stand-in for N vs 4N executors.
-        # high-core config measured first so box warm-up (if any) cannot
-        # flatter the small config; best-of-3 trials inside each session
-        hi = time_scoring(16, pairs_path)
-        lo = time_scoring(4, pairs_path)
+        # The box is a shared host with minutes-scale load/turbo noise, so
+        # the two configs are measured in INTERLEAVED sessions (hi, lo,
+        # hi, lo) and each takes its best -- a quiet window benefits both
+        # sides instead of whichever config happened to land in it
+        hi_runs, lo_runs = [], []
+        for _ in range(2):
+            hi_runs.append(time_scoring(16, pairs_path))
+            lo_runs.append(time_scoring(4, pairs_path))
+        hi = min(hi_runs, key=lambda r: r["sec"])
+        lo = min(lo_runs, key=lambda r: r["sec"])
         speedup = lo["sec"] / hi["sec"] if hi["sec"] else 0.0
         out["scaling"] = {
             "n_cores": lo, "4n_cores": hi,

@@ -124,6 +124,80 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    n_cells: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "qid", qvec_col: str = "qvec",
+    centroids: DataFrame | None = None,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """-> (qid, vec_id, rank): IVF-flat approximate top-k.
+
+    Inverted-file structure: every vector is assigned to its nearest of
+    ``n_cells`` coarse centroids (one broadcast join + per-vector argmax),
+    queries probe the ``n_probe`` nearest cells and scan only those
+    inverted lists.  Cost per query ~ n_probe/n_cells of the corpus, and
+    the candidate join is an equi-join on the cell id -- partition-local at
+    scale (co-partition the inverted file by cell).
+
+    Default centroids are the ``n_cells`` lowest-id vectors -- a
+    deterministic sampled coarse quantizer, exactly reproducible in the
+    DuckDB value oracle; pass ``centroids=kmeans_centroids(...)`` for
+    learned cells (same plan shape, better balance).  Cosines are rounded
+    before every ranking so assignment/probe/final order is summation-order
+    independent.
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       _as_double_array(F.col(vec_col)).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _as_double_array(F.col(qvec_col)).alias("qv"))
+    if centroids is None:
+        centroids = (v.orderBy("vec_id").limit(n_cells)
+                     .select(F.col("vec_id").alias("cid"),
+                             F.col("v").alias("cvec")))
+
+    def nearest_cells(df, key, vcol, n):
+        scored = df.join(F.broadcast(centroids)).withColumn(
+            "__c", F.round(_cosine(F.col(vcol), F.col("cvec")),
+                           round_decimals))
+        w = Window.partitionBy(key).orderBy(F.col("__c").desc(),
+                                            F.col("cid").asc())
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__c", "__rn", "cvec"))
+
+    inverted = nearest_cells(v, "vec_id", "v", 1)       # inverted file
+    probes = nearest_cells(q, "qid", "qv", n_probe)     # probed cells
+    cand = probes.join(inverted, "cid").withColumn(
+        "cosine", F.round(_cosine(F.col("qv"), F.col("v")), round_decimals))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank")
+    )
+
+
+def kmeans_centroids(vectors: DataFrame, n_cells: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """Learned coarse quantizer for ivf_topk via pyspark.ml KMeans:
+    -> (cid, cvec).  Same downstream plan; better cell balance than the
+    sampled default on clustered corpora."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        array_to_vector(_as_double_array(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
+    spark = vectors.sparkSession
+    rows = [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cid int, cvec array<double>")
+
+
 def embedding_near_dups(vectors: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         min_cosine: float = 0.95) -> DataFrame:

@@ -124,6 +124,50 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert all((i, i) in approx_set for i in range(5))
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell makes IVF exhaustive: must equal brute force."""
+    import random
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["vec_id"], r["rank"]) for r in
+             ann.brute_force_topk(df, q, k=3, round_decimals=9).collect()}
+    full = {(r["qid"], r["vec_id"], r["rank"]) for r in
+            ann.ivf_topk(df, q, k=3, n_cells=8, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_recall_and_self_match(spark):
+    import random
+    rng = random.Random(4)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["vec_id"]) for r in
+             ann.brute_force_topk(df, q, k=3).collect()}
+    approx = {(r["qid"], r["vec_id"]) for r in
+              ann.ivf_topk(df, q, k=3, n_cells=12, n_probe=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+    # the query vector itself lives in the probed nearest cell
+    assert all((i, i) in approx for i in range(5))
+
+
+def test_ivf_kmeans_centroids(spark):
+    import random
+    rng = random.Random(8)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ann.kmeans_centroids(df, n_cells=4)
+    assert cents.count() == 4
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = ann.ivf_topk(df, q, k=2, n_probe=2, centroids=cents).collect()
+    assert {r["qid"] for r in got} == {0, 1}
+
+
 def test_multimodal_decode_plumbing(spark):
     rows = [("u1", b"\x89PNGfakebytes"), ("u2", b""), ("u3", b"JFIFxxxx")]
     df = spark.createDataFrame(rows, "url string, payload binary")
