@@ -398,7 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
-        # rows-only (pandas-UDF kernels / approximate / binary plumbing)
+        # value-oracled via generated SQL / expected tables except
+        # ann_lsh_topk (seeded random hyperplanes, rows-only)
         "rated_matches_groups": _q_rated_matches_groups,
         "match_parts_e2e": _q_match_parts_e2e,
         "simhash_docs": _q_simhash,
@@ -431,6 +432,41 @@ _SHINGLES_SQL = r"""
         WHERE len(ws) >= 3
     )
 """
+
+
+def _langid_sql() -> str:
+    """DuckDB twin of operators/textstats.py::lang_id, GENERATED from the
+    same LANG_MARKERS table so Spark and oracle cannot drift."""
+    from name_matching_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        cases = " +\n                   ".join(
+            f"CASE WHEN contains(p, ' {w} ') THEN 1 ELSE 0 END"
+            for w in LANG_MARKERS[lang])
+        score_cols.append(f"({cases}) AS s_{lang}")
+    score_sql = ",\n                  ".join(score_cols)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # CASE <greatest> WHEN s_xx picks the FIRST equal score in listed
+    # (alphabetical) order -- the same tie-break as the Spark operator
+    whens = " ".join(f"WHEN s_{lang} THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+            WITH s AS (
+                SELECT doc_id AS id, ' ' || lower(text) || ' ' AS p
+                FROM documents
+            ),
+            sc AS (
+                SELECT id,
+                  {score_sql}
+                FROM s
+            )
+            SELECT id,
+                   CASE {greatest} {whens}
+                        ELSE '{langs[-1]}' END AS lang_pred,
+                   CAST({greatest} AS INT) AS lang_score
+            FROM sc
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -703,49 +739,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = c.id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
         """,
-        "langid": """
-            WITH s AS (
-                SELECT doc_id AS id, ' ' || lower(text) || ' ' AS p
-                FROM documents
-            ),
-            sc AS (
-                SELECT id,
-                  (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' das ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' ein ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' mit ') THEN 1 ELSE 0 END) AS s_de,
-                  (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' with ') THEN 1 ELSE 0 END) AS s_en,
-                  (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' las ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' con ') THEN 1 ELSE 0 END) AS s_es,
-                  (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' la ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' des ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' avec ') THEN 1 ELSE 0 END) AS s_fr,
-                  (CASE WHEN contains(p, ' de ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' het ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' een ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' van ') THEN 1 ELSE 0 END +
-                   CASE WHEN contains(p, ' met ') THEN 1 ELSE 0 END) AS s_nl
-                FROM s
-            )
-            SELECT id,
-                   CASE greatest(s_de, s_en, s_es, s_fr, s_nl)
-                        WHEN s_de THEN 'de' WHEN s_en THEN 'en'
-                        WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
-                        ELSE 'nl' END AS lang_pred,
-                   CAST(greatest(s_de, s_en, s_es, s_fr, s_nl) AS INT)
-                       AS lang_score
-            FROM sc
-        """,
+        "langid": _langid_sql(),
         "quality_score": r"""
             WITH q AS (
                 SELECT doc_id AS id, text,

@@ -98,6 +98,123 @@ def sim_levenshtein(src: str, tar: str) -> float:
     return 1.0 - _lev_dist_abs(src, tar) / denom
 
 
+def levenshtein_alignment(
+    src: str,
+    tar: str,
+    mode: str = "lev",
+    cost: tuple[float, float, float, float] = (1, 1, 1, 1),
+) -> tuple[float, str, str]:
+    """(distance, src_aligned, tar_aligned) with '-' gaps.
+
+    Full-option Levenshtein surface of the reference
+    (distances/_levenshtein.py:36-388): mode 'lev' or 'osa' (adds
+    transpositions, substrings edited once), cost 4-tuple
+    (ins, del, sub, trans).  Implemented fresh from the published
+    algorithm (classic Wagner-Fischer + backtrace; boundary row traces as
+    inserts, boundary column as deletes; tie order ins < del < sub;
+    transposition recorded as a diagonal trace), validated against the
+    reference's published docstring examples in tests.
+    """
+    ins_c, del_c, sub_c, trans_c = cost
+    n, m = len(src), len(tar)
+    # d[i][j] = cost of src[:i] -> tar[:j]; trace 0=ins, 1=del, 2=diag
+    d = [[0.0] * (m + 1) for _ in range(n + 1)]
+    trace = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i * del_c
+        trace[i][0] = 1
+    for j in range(m + 1):
+        d[0][j] = j * ins_c
+        trace[0][j] = 0
+    for i in range(n):
+        for j in range(m):
+            opts = (
+                d[i + 1][j] + ins_c,
+                d[i][j + 1] + del_c,
+                d[i][j] + (sub_c if src[i] != tar[j] else 0),
+            )
+            best = min(opts)
+            d[i + 1][j + 1] = best
+            trace[i + 1][j + 1] = opts.index(best)
+            if (mode == "osa" and i > 0 and j > 0
+                    and src[i] == tar[j - 1] and src[i - 1] == tar[j]):
+                t = d[i - 1][j - 1] + trans_c
+                if t < d[i + 1][j + 1]:
+                    d[i + 1][j + 1] = t
+                    trace[i + 1][j + 1] = 2
+                elif t == d[i + 1][j + 1]:
+                    trace[i + 1][j + 1] = 2
+    src_al: list[str] = []
+    tar_al: list[str] = []
+    i, j = n, m
+    distance = d[n][m]
+    while i and j:
+        t = trace[i][j]
+        if t == 2:
+            src_al.append(src[i - 1])
+            tar_al.append(tar[j - 1])
+            i -= 1
+            j -= 1
+        elif t == 1:
+            src_al.append(src[i - 1])
+            tar_al.append("-")
+            i -= 1
+        else:
+            src_al.append("-")
+            tar_al.append(tar[j - 1])
+            j -= 1
+    while j:
+        j -= 1
+        src_al.append("-")
+        tar_al.append(tar[j])
+    while i:
+        i -= 1
+        src_al.append(src[i])
+        tar_al.append("-")
+    return distance, "".join(src_al[::-1]), "".join(tar_al[::-1])
+
+
+def levenshtein_dist_abs(
+    src: str,
+    tar: str,
+    mode: str = "lev",
+    cost: tuple[float, float, float, float] = (1, 1, 1, 1),
+) -> float:
+    """Absolute Levenshtein/OSA distance with the reference's cost
+    options (ins, del, sub, trans)."""
+    if mode == "lev" and cost[:3] == (1, 1, 1):
+        return _lev_dist_abs(src, tar)
+    ins_c, del_c, sub_c, trans_c = cost
+    n, m = len(src), len(tar)
+    if not n:
+        return m * ins_c
+    if not m:
+        return n * del_c
+    prev2: list[float] | None = None
+    prev = [j * ins_c for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [i * del_c]
+        cs = src[i - 1]
+        for j in range(1, m + 1):
+            ct = tar[j - 1]
+            best = prev[j - 1] + (0 if cs == ct else sub_c)
+            up = prev[j] + del_c
+            if up < best:
+                best = up
+            left = cur[j - 1] + ins_c
+            if left < best:
+                best = left
+            if (mode == "osa" and i > 1 and j > 1
+                    and cs == tar[j - 2] and src[i - 2] == ct):
+                t = prev2[j - 2] + trans_c
+                if t < best:
+                    best = t
+            cur.append(best)
+        prev2 = prev
+        prev = cur
+    return prev[-1]
+
+
 def sim_indel(src: str, tar: str) -> float:
     """Levenshtein with inserts/deletes only, normalized by len(a)+len(b)."""
     if src == tar:

@@ -12,13 +12,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# small marker-word sets per language; deterministic and oracle-replicable
+# marker-word sets per language: high-frequency function words,
+# ASCII-only (both engines lowercase them identically), deterministic and
+# oracle-replicable (the DuckDB SQL is GENERATED from this table, see
+# __spark_entry__.py, so the two sides cannot drift).  Cross-language
+# collisions (e.g. nl/de "met"/"mit") are fine -- classification is the
+# argmax of per-language hit counts, ties broken by language code.
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "is", "with"],
-    "nl": ["de", "het", "een", "van", "met"],
-    "de": ["der", "und", "das", "ein", "mit"],
-    "fr": ["le", "la", "les", "des", "avec"],
-    "es": ["el", "los", "las", "una", "con"],
+    "en": ["the", "and", "of", "is", "with", "that", "this", "from",
+           "have", "are", "was", "which", "their", "about", "would"],
+    "nl": ["de", "het", "een", "van", "met", "voor", "niet", "zijn",
+           "aan", "ook", "maar", "naar", "wordt", "deze", "hebben"],
+    "de": ["der", "und", "das", "ein", "mit", "nicht", "auch", "eine",
+           "sich", "auf", "werden", "wurde", "dass", "durch", "wird"],
+    "fr": ["le", "la", "les", "des", "avec", "pour", "dans", "est",
+           "sont", "une", "qui", "pas", "plus", "sur", "cette"],
+    "es": ["el", "los", "las", "una", "con", "para", "por", "como",
+           "pero", "sus", "esta", "entre", "cuando", "sobre", "muy"],
+    "it": ["il", "gli", "della", "delle", "che", "per", "sono", "come",
+           "anche", "nella", "questo", "piu", "dal", "degli", "alla"],
+    "pt": ["nao", "dos", "uma", "com", "mas", "seus", "tambem", "voce",
+           "muito", "sao", "pelo", "pela", "isso", "mais", "quem"],
+    "sv": ["och", "att", "det", "som", "av", "inte", "har", "till",
+           "den", "ett", "om", "kan", "ska", "efter", "under"],
+    "pl": ["nie", "jest", "sie", "przez", "oraz", "tym", "jak", "dla",
+           "tego", "jego", "ktory", "byl", "czy", "juz", "tylko"],
+    "tr": ["bir", "ve", "bu", "icin", "ile", "olarak", "daha", "cok",
+           "ama", "gibi", "sonra", "kadar", "yeni", "olan", "ancak"],
 }
 
 # BPE-ish word/number/punctuation splitter (GPT-2-style simplified)
