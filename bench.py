@@ -239,10 +239,12 @@ def main():
         # the two configs are measured in INTERLEAVED sessions (hi, lo,
         # hi, lo) and each takes its best -- a quiet window benefits both
         # sides instead of whichever config happened to land in it
+        out["load_avg_before_scaling"] = [round(x, 2)
+                                          for x in os.getloadavg()]
         hi_runs, lo_runs = [], []
-        for _ in range(2):
-            hi_runs.append(time_scoring(16, pairs_path))
-            lo_runs.append(time_scoring(4, pairs_path))
+        for _ in range(3):
+            hi_runs.append(time_scoring(16, pairs_path, trials=2))
+            lo_runs.append(time_scoring(4, pairs_path, trials=2))
         hi = min(hi_runs, key=lambda r: r["sec"])
         lo = min(lo_runs, key=lambda r: r["sec"])
         speedup = lo["sec"] / hi["sec"] if hi["sec"] else 0.0
@@ -250,7 +252,11 @@ def main():
             "n_cores": lo, "4n_cores": hi,
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
+            "hi_session_secs": [r["sec"] for r in hi_runs],
+            "lo_session_secs": [r["sec"] for r in lo_runs],
         }
+        out["load_avg_after_scaling"] = [round(x, 2)
+                                         for x in os.getloadavg()]
         # Secondary (saturated-box) pair: local[8] vs local[32] uses every
         # hardware thread at the top end, so JVM service threads contend
         # with Python workers and turbo clocks differ between configs --

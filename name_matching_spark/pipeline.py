@@ -313,17 +313,22 @@ def match_names(
                                       number_of_matches=m,
                                       slot_col=slot_col)
 
+    # `position` = 0-based output slot (reference match_name_{i}): the
+    # ranking-variant slot, or score rank minus one on the default path;
+    # exact matches occupy slot 0
     fuzzy = (
         winners
         .select(GROUP_COL, F.col("qid").alias("a_id"),
                 F.col("mid").alias("b_id"),
                 F.col("query_name").alias("original_name"),
                 F.col("cand_name").alias("match_name"),
-                "score", F.lit("fuzzy").alias("source"))
+                "score", F.lit("fuzzy").alias("source"),
+                (F.col(slot_col) - (0 if variant else 1))
+                .cast("int").alias("position"))
     )
 
-    matches = exact.unionByName(fuzzy).filter(
-        F.col("score") > config.threshold)
+    matches = exact.withColumn("position", F.lit(0)).unionByName(
+        fuzzy).filter(F.col("score") > config.threshold)
     if checkpoint:
         matches = checkpoint.get_or_compute("matches", lambda: matches)
     return matches.drop(GROUP_COL)
@@ -333,14 +338,18 @@ def pivot_matches(matches: DataFrame, number_of_matches: int) -> DataFrame:
     """Long matches -> reference-style wide shape: one row per a_id with
     match_name_i / score_i / match_index_i columns (name_matcher.py:819-846).
 
-    Expects the long output of match_names with number_of_matches > 1 (rows
-    carry no explicit rank, so rank is reconstructed from score order).
+    Uses the explicit ``position`` slot when present (required for the
+    per-group / per-metric ranking variants, where slot order is NOT score
+    order); otherwise slots are reconstructed from score order.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(),
-                                           F.col("b_id").asc())
-    ranked = matches.withColumn("__m", F.row_number().over(w) - 1)
+    if "position" in matches.columns:
+        ranked = matches.withColumn("__m", F.col("position"))
+    else:
+        w = Window.partitionBy("a_id").orderBy(F.col("score").desc(),
+                                               F.col("b_id").asc())
+        ranked = matches.withColumn("__m", F.row_number().over(w) - 1)
     aggs = [F.first("original_name").alias("original_name")]
     for i in range(number_of_matches):
         aggs.extend([

@@ -37,6 +37,21 @@ def main(argv=None):
     p.add_argument("--cluster", action="store_true",
                    help="emit transitive entity clusters instead of edges")
     p.add_argument("--preprocess-split", action="store_true")
+    p.add_argument("--prefix-size", type=int, default=None,
+                   help="force the prefix-filtered blocker with this many "
+                        "rare grams per doc (default: auto-switch above "
+                        "--auto-prefix-threshold docs per block)")
+    p.add_argument("--auto-prefix-threshold", type=int, default=20_000)
+    p.add_argument("--number-of-matches", type=int, default=1,
+                   help="alternatives per query; equals the metric-group "
+                        "or metric count -> per-group / per-metric ranking "
+                        "(reference _rate_matches dispatch)")
+    p.add_argument("--legal-suffixes", action="store_true",
+                   help="postprocess: rescore winners with legal-form "
+                        "words stripped")
+    p.add_argument("--common-words", action="store_true",
+                   help="postprocess: rescore winners with corpus-common "
+                        "words stripped")
     p.add_argument("--demo", type=int, default=0,
                    help="run on N synthetic entities instead of real input")
     args = p.parse_args(argv)
@@ -67,7 +82,12 @@ def main(argv=None):
 
     cfg = MatchConfig(top_n=args.top_n, threshold=args.threshold,
                       df_cap_frac=args.df_cap_frac,
-                      preprocess_split=args.preprocess_split)
+                      preprocess_split=args.preprocess_split,
+                      prefix_size=args.prefix_size,
+                      auto_prefix_threshold=args.auto_prefix_threshold,
+                      number_of_matches=args.number_of_matches,
+                      legal_suffixes=args.legal_suffixes,
+                      common_words=args.common_words)
     out = match_pages(spark, pages_a, pages_b, config=cfg,
                       checkpoint=ck, cluster=args.cluster)
     out.write.mode("overwrite").parquet(args.output)
