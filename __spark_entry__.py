@@ -305,6 +305,17 @@ def _q_simhash(spark, sf_dir):
     return simhash(d, "doc_id", "text")
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit chunk buckets + hamming filter
+    over the augmented (twin-containing) docs corpus."""
+    from name_matching_spark.operators.dedup import simhash_near_dups
+
+    d = _docs_aug(spark, sf_dir)
+    out = simhash_near_dups(d, "doc_id", "text", max_hamming=12)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     from name_matching_spark.operators.ann import lsh_bucket_topk
 
@@ -403,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rated_matches_groups": _q_rated_matches_groups,
         "match_parts_e2e": _q_match_parts_e2e,
         "simhash_docs": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
@@ -432,6 +444,71 @@ _SHINGLES_SQL = r"""
         WHERE len(ws) >= 3
     )
 """
+
+
+def _simhash_sql(docs_sql: str) -> str:
+    """DuckDB twin of operators/dedup.py::simhash over an arbitrary
+    (doc_id, text) source: md5-prefix token hashes, 64-way bit vote."""
+    return f"""
+            WITH docs AS ({docs_sql}),
+            toks AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                           AS tok
+                FROM docs
+                WHERE length(trim(text)) > 0
+            ),
+            th AS (
+                SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT id, b.bit,
+                       sum(CASE WHEN (h >> b.bit) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM th, (SELECT unnest(range(64)) AS bit) b
+                GROUP BY id, b.bit
+            ),
+            vals AS (
+                SELECT id,
+                       sum(CASE WHEN vote > 0
+                                THEN (1::UBIGINT << bit)::HUGEINT
+                                ELSE 0 END) AS u
+                FROM bits GROUP BY id
+            )
+            SELECT d.doc_id AS id,
+                   CAST(CASE WHEN v.u IS NULL THEN 0
+                             WHEN v.u >= 9223372036854775808
+                               THEN v.u - 18446744073709551616
+                             ELSE v.u END AS BIGINT) AS simhash
+            FROM docs d LEFT JOIN vals v ON v.id = d.doc_id
+        """
+
+
+def _simhash_pairs_sql(max_hamming: int = 12) -> str:
+    """DuckDB twin of operators/dedup.py::simhash_near_dups over the
+    augmented docs corpus: 4 x 16-bit chunk buckets -> candidate pairs ->
+    hamming filter (arithmetic >> is safe: & 65535 truncates the
+    sign-extended high bits)."""
+    inner = _simhash_sql(_DOCS_AUG_SQL)
+    return f"""
+            WITH sh AS ({inner}),
+            chunks AS (
+                SELECT id, simhash,
+                       t.i AS chunk, (simhash >> (16 * t.i)) & 65535 AS v
+                FROM sh, (SELECT unnest(range(4)) AS i) t
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.simhash AS ha, b.simhash AS hb
+                FROM chunks a
+                JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v
+                             AND a.id < b.id
+            )
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+        """
 
 
 def _langid_sql() -> str:
@@ -890,39 +967,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, component
             FROM read_parquet('/root/repo/expected/cluster_pages_40.parquet')
         """,
-        "simhash_docs": r"""
-            WITH toks AS (
-                SELECT doc_id AS id,
-                       unnest(string_split_regex(trim(lower(text)), '\s+'))
-                           AS tok
-                FROM documents
-                WHERE length(trim(text)) > 0
-            ),
-            th AS (
-                SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
-                FROM toks
-            ),
-            bits AS (
-                SELECT id, b.bit,
-                       sum(CASE WHEN (h >> b.bit) & 1 = 1
-                                THEN 1 ELSE -1 END) AS vote
-                FROM th, (SELECT unnest(range(64)) AS bit) b
-                GROUP BY id, b.bit
-            ),
-            vals AS (
-                SELECT id,
-                       sum(CASE WHEN vote > 0
-                                THEN (1::UBIGINT << bit)::HUGEINT
-                                ELSE 0 END) AS u
-                FROM bits GROUP BY id
-            )
-            SELECT d.doc_id AS id,
-                   CAST(CASE WHEN v.u IS NULL THEN 0
-                             WHEN v.u >= 9223372036854775808
-                               THEN v.u - 18446744073709551616
-                             ELSE v.u END AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN vals v ON v.id = d.doc_id
-        """,
+        "simhash_docs": _simhash_sql("SELECT doc_id, text FROM documents"),
+        "simhash_pairs": _simhash_pairs_sql(),
         "media_meta": r"""
             SELECT CAST(doc_id AS VARCHAR) AS id,
                    CAST(octet_length(encode(text)) AS INT) AS byte_len,
