@@ -296,7 +296,9 @@ def _compiled_rules(cfg: PreprocessConfig) -> CompiledRules:
 
 def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> str:
     """Full NameMatcher-style normalization of one name (idempotent)."""
-    name = str(name)
+    # NULL is "no name", not the string "None" (which would become a hot
+    # shared join key across all null rows)
+    name = "" if name is None else str(name)
     if cfg.non_word_characters:
         name = clean_non_word(name)
     if cfg.remove_ascii:
@@ -327,7 +329,7 @@ def light_preprocess_name(
 ) -> str:
     """run_nm-style light normalization used before the exact-match join
     (run_nm.py:50-103): lower+strip, strip punctuation, NFKD-ascii."""
-    name = str(name)
+    name = "" if name is None else str(name)
     if not case_sensitive:
         name = name.lower().strip()
     if not punctuation_sensitive:

@@ -1,0 +1,62 @@
+"""Degenerate pipeline inputs must not crash or mismatch.
+
+Empty sides, single rows, all-exact corpora and all-empty names are the
+shapes a 100 TB run hits in stray partitions; each must produce a sane
+(possibly empty) result, not an exception.
+"""
+
+from pyspark.sql import functions as F
+
+from name_matching_spark.pipeline import MatchConfig, match_names
+
+SCHEMA = "id long, name string"
+CFG = MatchConfig(threshold=0.0)
+
+
+def test_empty_query_side(spark):
+    df_a = spark.createDataFrame([], SCHEMA)
+    df_b = spark.createDataFrame([(0, "acme corp")], SCHEMA)
+    assert match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                       config=CFG).count() == 0
+
+
+def test_empty_master_side(spark):
+    df_a = spark.createDataFrame([(0, "acme corp")], SCHEMA)
+    df_b = spark.createDataFrame([], SCHEMA)
+    assert match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                       config=CFG).count() == 0
+
+
+def test_single_row_each_side(spark):
+    df_a = spark.createDataFrame([(1, "acme corpx")], SCHEMA)
+    df_b = spark.createDataFrame([(2, "acme corp")], SCHEMA)
+    rows = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                       config=CFG).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["source"] == "fuzzy"
+
+
+def test_all_exact_corpus(spark):
+    rows = [(i, f"company {i}") for i in range(20)]
+    df_a = spark.createDataFrame(rows, SCHEMA)
+    df_b = spark.createDataFrame(rows, SCHEMA)
+    got = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                      config=CFG).collect()
+    assert all(r["source"] == "exact" for r in got)
+    assert {(r["a_id"], r["b_id"]) for r in got} == {(i, i)
+                                                     for i in range(20)}
+
+
+def test_all_empty_names(spark):
+    df_a = spark.createDataFrame([(1, ""), (2, "  ")], SCHEMA)
+    df_b = spark.createDataFrame([(3, ""), (4, None)], SCHEMA)
+    assert match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                       config=CFG).count() == 0
+
+
+def test_null_names_mixed(spark):
+    df_a = spark.createDataFrame([(1, None), (2, "acme corp")], SCHEMA)
+    df_b = spark.createDataFrame([(3, "acme corp"), (4, None)], SCHEMA)
+    got = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                      config=CFG).collect()
+    assert {(r["a_id"], r["b_id"]) for r in got} == {(2, 3)}
