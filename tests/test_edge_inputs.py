@@ -54,6 +54,30 @@ def test_all_empty_names(spark):
                        config=CFG).count() == 0
 
 
+def test_auto_prefix_switch_engages(spark):
+    """Above auto_prefix_threshold docs per block, candidate generation
+    must route through the prefix-filtered blocker (its exact-cosine
+    verify is a map_zip_with fold -- visible in the plan) and still match
+    correctly."""
+    masters = [(i, f"entity number {i} gmbh") for i in range(30)]
+    queries = [(100 + i, f"entity number {i} gmbgh") for i in range(5)]
+    df_m = spark.createDataFrame(masters, SCHEMA)
+    df_q = spark.createDataFrame(queries, SCHEMA)
+    cfg = MatchConfig(threshold=0.0, auto_prefix_threshold=10)
+    res = match_names(spark, df_q, df_m, "id", "name", "id", "name",
+                      config=cfg)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_zip_with" in plan  # prefix verify stage present
+    got = {r["a_id"]: r["b_id"] for r in res.collect()}
+    assert got == {100 + i: i for i in range(5)}
+    # below the threshold the exact inverted-index join is used instead
+    cfg2 = MatchConfig(threshold=0.0, auto_prefix_threshold=1000)
+    res2 = match_names(spark, df_q, df_m, "id", "name", "id", "name",
+                       config=cfg2)
+    plan2 = res2._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_zip_with" not in plan2
+
+
 def test_null_names_mixed(spark):
     df_a = spark.createDataFrame([(1, None), (2, "acme corp")], SCHEMA)
     df_b = spark.createDataFrame([(3, "acme corp"), (4, None)], SCHEMA)
