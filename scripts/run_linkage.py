@@ -4,11 +4,19 @@
 Cluster usage (the north-rule launch shape):
 
     cd /root/repo && zip -qr /tmp/nm_spark.zip name_matching_spark
-    spark-submit --py-files /tmp/nm_spark.zip scripts/run_linkage.py \
+    spark-submit --driver-memory 48g \
+        --py-files /tmp/nm_spark.zip scripts/run_linkage.py \
         --pages-a s3://bucket/pages_a --pages-b s3://bucket/pages_b \
         --output s3://bucket/matches \
         --checkpoint-dir s3://bucket/checkpoints/run1 \
         --threshold 95 --cluster
+
+NOTE on memory: under spark-submit the JVM is already running before this
+script executes, so `spark.driver.memory` from the in-code session builder
+CANNOT take effect -- pass --driver-memory (and --executor-memory on a
+real cluster) on the spark-submit command line.  In LOCAL mode the driver
+heap is also the executor heap for every task thread; the 1g default OOMs
+around ~20k+ pages on local[32].  The script warns when it detects this.
 
 Inputs are parquet tables with the BASELINE input_hint schema
 (url, warc_ts, html, text, lang).  A killed job relaunched with the same
@@ -63,6 +71,17 @@ def main(argv=None):
     from name_matching_spark.session import get_spark
 
     spark = get_spark("nm-linkage")
+    # under spark-submit, driver memory is fixed at JVM launch; in local
+    # mode that heap also serves every executor task thread
+    jvm_max = spark.sparkContext._jvm.java.lang.Runtime.getRuntime() \
+        .maxMemory()
+    cores = spark.sparkContext.defaultParallelism
+    if spark.sparkContext.master.startswith("local") and \
+            jvm_max < cores * 512 * 1024 * 1024:
+        print(f"WARNING: local[{cores}] with only "
+              f"{jvm_max // (1024 ** 2)} MiB driver heap "
+              f"(< 512 MiB/core) -- large inputs will OOM; relaunch with "
+              f"spark-submit --driver-memory (e.g. 48g)", file=sys.stderr)
     if args.demo:
         from name_matching_spark.sources.pages import spark_pages_df
         pages = spark_pages_df(spark, entities=args.demo, variants=2)
