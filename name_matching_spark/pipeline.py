@@ -80,6 +80,12 @@ class MatchConfig:
     common_words: bool = False
     cut_off_no_scoring_words: float = 0.01
     no_scoring_words: tuple = ()
+    # run_nm light-preprocess sensitivity flags (run_nm.py:50-103): when a
+    # flag is True the corresponding normalization is SKIPPED before the
+    # exact-match join
+    case_sensitive: bool = False
+    punctuation_sensitive: bool = False
+    special_character_sensitive: bool = False
 
 
 def reduce_query_names(df: DataFrame, name_col: str = "name_norm",
@@ -112,12 +118,18 @@ def reduce_query_names(df: DataFrame, name_col: str = "name_norm",
     )
 
 
-def _prepare_udf(cfg: PreprocessConfig):
+def _prepare_udf(cfg: PreprocessConfig, case_sensitive: bool = False,
+                 punctuation_sensitive: bool = False,
+                 special_character_sensitive: bool = False):
     """One fused pandas UDF: raw name -> (name_light, name_norm)."""
 
     @F.pandas_udf("name_light string, name_norm string")
     def _prep(names: pd.Series) -> pd.DataFrame:
-        light = names.astype("object").map(light_preprocess_name)
+        light = names.astype("object").map(
+            lambda n: light_preprocess_name(
+                n, case_sensitive=case_sensitive,
+                punctuation_sensitive=punctuation_sensitive,
+                special_character_sensitive=special_character_sensitive))
         norm = light.map(lambda n: preprocess_name(n, cfg))
         return pd.DataFrame({"name_light": light, "name_norm": norm})
 
@@ -125,7 +137,7 @@ def _prepare_udf(cfg: PreprocessConfig):
 
 
 def _prepare(df: DataFrame, id_col: str, name_col: str,
-             group_col: str | None, cfg: PreprocessConfig) -> DataFrame:
+             group_col: str | None, config: "MatchConfig") -> DataFrame:
     """-> (id, __group, name_raw, name_light, name_norm); one UDF pass."""
     out = with_group(
         df.select(F.col(id_col).alias("id"),
@@ -133,7 +145,11 @@ def _prepare(df: DataFrame, id_col: str, name_col: str,
                   *([F.col(group_col)] if group_col else [])),
         group_col,
     )
-    prep = _prepare_udf(cfg)
+    prep = _prepare_udf(
+        config.preprocess,
+        case_sensitive=config.case_sensitive,
+        punctuation_sensitive=config.punctuation_sensitive,
+        special_character_sensitive=config.special_character_sensitive)
     out = out.withColumn("__prep", prep(F.col("name_raw")))
     return out.select("id", GROUP_COL, "name_raw",
                       F.col("__prep.name_light").alias("name_light"),
@@ -166,8 +182,8 @@ def match_names(
         checkpoint = checkpoint.scoped(fingerprint_of(config))
     cache = ((lambda d: d.persist()) if config.cache_intermediates
              else (lambda d: d))
-    a = _prepare(df_a, id_col_a, name_col_a, group_col_a, config.preprocess)
-    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config.preprocess)
+    a = _prepare(df_a, id_col_a, name_col_a, group_col_a, config)
+    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config)
     if checkpoint:
         a = checkpoint.get_or_compute("normalized_a", lambda: a)
         b = checkpoint.get_or_compute("normalized_b", lambda: b)

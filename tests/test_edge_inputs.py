@@ -54,6 +54,23 @@ def test_all_empty_names(spark):
                        config=CFG).count() == 0
 
 
+def test_case_sensitive_exact_join(spark):
+    """run_nm sensitivity flags: with case_sensitive=True the light names
+    keep case, so 'ACME Corp' vs 'acme corp' is no longer an exact match
+    (it still matches through the fuzzy path, whose full preprocess
+    lowercases)."""
+    df_a = spark.createDataFrame([(1, "ACME Corp")], SCHEMA)
+    df_b = spark.createDataFrame([(2, "acme corp")], SCHEMA)
+    default = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                          config=CFG).collect()
+    assert [r["source"] for r in default] == ["exact"]
+    cs = match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                     config=MatchConfig(threshold=0.0,
+                                        case_sensitive=True)).collect()
+    assert [(r["a_id"], r["b_id"], r["source"]) for r in cs] == \
+        [(1, 2, "fuzzy")]
+
+
 def test_auto_prefix_switch_engages(spark):
     """Above auto_prefix_threshold docs per block, candidate generation
     must route through the prefix-filtered blocker (its exact-cosine
