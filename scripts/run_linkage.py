@@ -49,7 +49,7 @@ def main(argv=None):
                    help="force the prefix-filtered blocker with this many "
                         "rare grams per doc (default: auto-switch above "
                         "--auto-prefix-threshold docs per block)")
-    p.add_argument("--auto-prefix-threshold", type=int, default=20_000)
+    p.add_argument("--auto-prefix-threshold", type=int, default=4_000)
     p.add_argument("--number-of-matches", type=int, default=1,
                    help="alternatives per query; equals the metric-group "
                         "or metric count -> per-group / per-metric ranking "
