@@ -322,7 +322,8 @@ def _q_ann_lsh(spark, sf_dir):
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    return lsh_bucket_topk(e, q, k=5, dim=64, num_planes=6, num_tables=4)
+    return lsh_bucket_topk(e, q, k=5, dim=64, num_planes=6, num_tables=4,
+                           round_decimals=6)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -409,8 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann_topk,
-        # value-oracled via generated SQL / expected tables except
-        # ann_lsh_topk (seeded random hyperplanes, rows-only)
+        # value-oracled via generated SQL / expected tables
         "rated_matches_groups": _q_rated_matches_groups,
         "match_parts_e2e": _q_match_parts_e2e,
         "simhash_docs": _q_simhash,
@@ -543,6 +543,64 @@ def _langid_sql() -> str:
                         ELSE '{langs[-1]}' END AS lang_pred,
                    CAST({greatest} AS INT) AS lang_score
             FROM sc
+        """
+
+
+def _ann_lsh_sql(k: int = 5, dim: int = 64, num_planes: int = 6,
+                 num_tables: int = 4) -> str:
+    """DuckDB twin of operators/ann.py::lsh_bucket_topk, GENERATED from the
+    same md5-deterministic ``_hyperplane`` table: the plane components are
+    embedded as SQL double literals (repr round-trips exactly), so bucket
+    assignment cannot drift between engines.  Plane dots are rounded to 9
+    decimals before the sign test and cosines to 6 before ranking, matching
+    the Spark operator."""
+    from name_matching_spark.operators.ann import _hyperplane
+
+    def sig_expr(vcol: str, table: int) -> str:
+        bits = []
+        for p in range(num_planes):
+            plane = _hyperplane(table * 1000 + p, dim)
+            lits = ", ".join(repr(x) for x in plane)
+            bits.append(
+                f"(CASE WHEN round(list_dot_product({vcol}, [{lits}]), 9)"
+                f" >= 0 THEN '1' ELSE '0' END)")
+        joined = " || ".join(bits)
+        return f"'t{table}:' || {joined}"
+
+    v_sigs = ", ".join(sig_expr("vec", t) for t in range(num_tables))
+    q_sigs = ", ".join(sig_expr("qv", t) for t in range(num_tables))
+    return f"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS vec
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS qid, vec AS qv FROM v
+                  WHERE vec_id < 10),
+            vb AS (
+                SELECT vec_id, vec, unnest([{v_sigs}]) AS bucket FROM v
+            ),
+            qb AS (
+                SELECT qid, qv, unnest([{q_sigs}]) AS bucket FROM q
+            ),
+            cand AS (
+                SELECT DISTINCT qb.qid, qb.qv, vb.vec_id, vb.vec
+                FROM qb JOIN vb USING (bucket)
+            ),
+            scored AS (
+                SELECT qid, vec_id,
+                       round(list_cosine_similarity(qv, vec), 6) AS cosine
+                FROM cand
+            ),
+            ranked AS (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT qid, vec_id, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= {k}
         """
 
 
@@ -817,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
         """,
         "langid": _langid_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "quality_score": r"""
             WITH q AS (
                 SELECT doc_id AS id, text,

@@ -78,6 +78,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     qid_col: str = "qid", qvec_col: str = "qvec",
     dim: int = 64, num_planes: int = 6, num_tables: int = 4,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """-> (qid, vec_id, rank): approximate top-k via random-hyperplane LSH.
 
@@ -85,16 +86,24 @@ def lsh_bucket_topk(
     is a candidate if it lands in the same bucket as the query in ANY table.
     Recall improves with num_tables; cost scales with bucket occupancy
     (n / 2^num_planes per table) instead of n.
+
+    The hyperplanes are md5-deterministic (``_hyperplane``), so the whole
+    operator is value-oracle-able: the DuckDB twin embeds the same plane
+    components as SQL literals.  Plane dots are rounded to 9 decimals
+    before the sign test and ``round_decimals`` rounds the final cosine,
+    making bucket assignment and ranking summation-order independent.
     """
     def sig_col(vcol, table):
         bits = []
         for p in range(num_planes):
             plane = _hyperplane(table * 1000 + p, dim)
-            dot = F.aggregate(
-                F.zip_with(vcol,
-                           F.array(*[F.lit(x) for x in plane]),
-                           lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x)
+            dot = F.round(
+                F.aggregate(
+                    F.zip_with(vcol,
+                               F.array(*[F.lit(x) for x in plane]),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x),
+                9)
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(F.lit(f"t{table}:"), *bits)
 
@@ -115,6 +124,9 @@ def lsh_bucket_topk(
         .select("qid", "qv", "vec_id", "v").distinct()
         .withColumn("cosine", _cosine(F.col("qv"), F.col("v")))
     )
+    if round_decimals is not None:
+        cand = cand.withColumn(
+            "cosine", F.round(F.col("cosine"), round_decimals))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("vec_id").asc())
     return (
