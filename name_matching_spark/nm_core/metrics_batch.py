@@ -192,10 +192,37 @@ def flat_metric_columns(metrics) -> list[str]:
 def score_batch(a_strs: list[str], b_strs: list[str],
                 metrics) -> np.ndarray:
     """(B, n_metrics) score matrix; batch kernels where available, scalar
-    functions elsewhere.  Column order == flat_metric_fns order."""
+    functions elsewhere.  Column order == flat_metric_fns order.
+
+    Identical (a, b) pairs inside a batch are scored ONCE and the row is
+    broadcast back (real name corpora are duplicate-heavy: normalized
+    names repeat, so candidate pairs repeat).  Scores are bit-identical by
+    construction -- the same functions run on the same strings -- and the
+    dict pass is O(B) string hashing, noise next to the ~10^2 us/pair
+    kernel."""
     names = flat_metric_columns(metrics)
     B = len(a_strs)
-    out = np.empty((B, len(names)), np.float64)
+    index: dict[tuple[str, str], int] = {}
+    firsts: list[int] = []
+    inv = np.empty(B, np.int64)
+    for i in range(B):
+        key = (a_strs[i], b_strs[i])
+        j = index.get(key)
+        if j is None:
+            j = len(firsts)
+            index[key] = j
+            firsts.append(i)
+        inv[i] = j
+    if len(firsts) < B:
+        out_u = _score_unique([a_strs[i] for i in firsts],
+                              [b_strs[i] for i in firsts], names)
+        return out_u[inv]
+    return _score_unique(a_strs, b_strs, names)
+
+
+def _score_unique(a_strs: list[str], b_strs: list[str],
+                  names: list[str]) -> np.ndarray:
+    out = np.empty((len(a_strs), len(names)), np.float64)
     for c, name in enumerate(names):
         kern = BATCH_KERNELS.get(name)
         if kern is not None:

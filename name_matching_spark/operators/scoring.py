@@ -168,38 +168,36 @@ def rate_matches(
 
     base_cols = [c for c in scored.columns if c != "scores"]
 
+    def _explode_slots(slot_exprs):
+        """One posexplode + ONE window over (group, qid, slot) replaces the
+        former n-way union of per-slot window passes (n re-scans and n
+        shuffles of the scored table -- a 29-shuffle plan at the per-metric
+        variant).  Same argmax semantics per slot; one shuffle total."""
+        w = Window.partitionBy(GROUP_COL, "qid", "position").orderBy(
+            F.col("__slot_score").desc(), F.col("rank").asc())
+        return (scored
+                .select("*", F.posexplode(F.array(*slot_exprs))
+                        .alias("position", "__slot_score"))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__slot_score"))
+
     if number_of_matches == 1:
         picked = (scored.withColumn("__rn", _argmax_by(F.col("mean_score")))
                   .filter(F.col("__rn") == 1)
                   .withColumn("position", F.lit(0)))
     elif number_of_matches == n_groups:
-        parts = []
+        gmeans = []
         idx = 0
-        for num, size in enumerate(group_sizes):
-            gmean = F.expr(
+        for size in group_sizes:
+            gmeans.append(F.expr(
                 f"aggregate(slice(scores, {idx + 1}, {size}), 0D, "
-                f"(acc, x) -> acc + x) / {size}")
-            parts.append(
-                scored.withColumn("__gm", gmean)
-                .withColumn("__rn", _argmax_by(F.col("__gm")))
-                .filter(F.col("__rn") == 1)
-                .withColumn("position", F.lit(num))
-                .drop("__gm"))
+                f"(acc, x) -> acc + x) / {size}"))
             idx += size
-        picked = parts[0]
-        for p in parts[1:]:
-            picked = picked.unionByName(p)
+        picked = _explode_slots(gmeans)
     elif number_of_matches == n_metrics:
-        parts = []
-        for num in range(n_metrics):
-            parts.append(
-                scored.withColumn("__rn", _argmax_by(
-                    F.col("scores")[num]))
-                .filter(F.col("__rn") == 1)
-                .withColumn("position", F.lit(num)))
-        picked = parts[0]
-        for p in parts[1:]:
-            picked = picked.unionByName(p)
+        picked = _explode_slots(
+            [F.col("scores")[num] for num in range(n_metrics)])
     else:
         # top-m by mean; ties break on rank (deterministic stand-in for
         # the reference's unstable np.argsort ties)

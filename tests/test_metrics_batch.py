@@ -108,3 +108,25 @@ def test_token_sort_key_cache_consistency():
     assert M.sim_fuzzy_wuzzy_token_sort("b a", "a b") == 1.0
     assert M.sim_fuzzy_wuzzy_token_sort("", "") == 1.0
     assert M.sim_fuzzy_wuzzy_token_sort("a", "") == 0.0
+
+
+def test_score_batch_dedups_duplicate_pairs_bit_identically():
+    # duplicate-heavy batch (real corpora repeat normalized names): the
+    # dedup fast path must broadcast the unique rows back bit-identically
+    base = GOLDEN_PAIRS + EDGE_PAIRS
+    pairs = base * 40 + _fuzz_pairs(200, seed=17)
+    rng = random.Random(23)
+    rng.shuffle(pairs)
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    mat = MB.score_batch(a, b, M.DEFAULT_METRICS)
+    fns = M.flat_metric_fns(M.DEFAULT_METRICS)
+    exp = np.array([[fn(x, y) for fn in fns] for x, y in pairs])
+    np.testing.assert_array_equal(mat, exp)
+    # and the same pair must produce the same row wherever it appears
+    seen = {}
+    for i, p in enumerate(pairs):
+        if p in seen:
+            np.testing.assert_array_equal(mat[i], mat[seen[p]])
+        else:
+            seen[p] = i

@@ -110,3 +110,15 @@ def test_match_names_per_group_variant(spark):
     # 4 slots, all matching one of the two acme candidates
     assert len(rows) == 4
     assert {r["b_id"] for r in rows} <= {0, 1}
+
+
+def test_per_metric_variant_is_single_shuffle(spark):
+    """The per-metric / per-group variants must run as ONE posexplode +
+    ONE window (one Exchange), not an n-way union of window passes -- a
+    29-shuffle plan at the full default ensemble would dominate at scale."""
+    score = np.array([[0.9, 0.1, 0.5], [0.2, 0.8, 0.7], [0.4, 0.3, 0.9]])
+    df = _scored_df(spark, score)
+    for m, sizes in [(3, [1, 2]), (2, [1, 2])]:  # per-metric, per-group
+        plan = rate_matches(df, m, sizes)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 1, f"m={m}:\n{plan}"
