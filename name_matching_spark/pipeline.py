@@ -230,7 +230,16 @@ def match_names(
         Sum_g df_q(g)*df_m(g) -- fine for small blocks, quadratic in hot
         n-grams beyond ~10^4 docs per block.  Above the threshold, switch
         to the near-linear prefix-filtered blocker.  The probe is one agg
-        over the (tiny, per-group) doc-count table."""
+        over the (tiny, per-group) doc-count table.
+
+        The probe is PER-RUN, not per-group: max(n_docs) over groups picks
+        one global plan.  A corpus with one huge block among thousands of
+        tiny ones routes everything through the prefix path -- safe, since
+        the prefix blocker is correct (and near-decision-identical) on
+        every block size, just unnecessary overhead for the tiny ones; the
+        reverse mistake (a huge block on the exact path) cannot happen
+        because max is the deciding statistic.  Grouped-skew behavior is
+        locked in tests/test_group_matching.py."""
         if config.prefix_size is not None:
             return config.prefix_size
         max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0

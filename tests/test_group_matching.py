@@ -56,3 +56,65 @@ def test_no_cross_group_matches(grouped):
     country_b = {r["id"]: r["country"] for r in names}
     for a_id, (b_id, _) in spark_matches.items():
         assert country_a[a_id] == country_b[b_id]
+
+
+def test_grouped_skew_picks_prefix_globally_and_stays_correct(
+        spark, monkeypatch):
+    """One huge block + many tiny blocks: the per-run auto probe
+    (max(n_docs) over groups) must route ALL groups through the prefix
+    blocker, and the match decisions must equal the exact-blocker run."""
+    import name_matching_spark.operators.blocking as blocking
+    import name_matching_spark.pipeline as pl
+
+    names = names_corpus(N)
+    adj = adjusted_names_corpus(N)
+    # skewed grouping: 3/4 of rows in one hot block, the rest in per-row
+    # singleton blocks (wildly uneven block sizes)
+    def blk(r):
+        return "hot" if r["id"] % 4 != 0 else f"tiny{r['id']}"
+    df_b = spark.createDataFrame(
+        [(r["id"], r["company_name"], blk(r)) for r in names],
+        "id long, name string, blk string")
+    df_a = spark.createDataFrame(
+        [(r["id"], r["company_name"], blk(r)) for r in adj],
+        "id long, name string, blk string")
+
+    calls = {"prefix": 0, "exact": 0}
+    real_prefix = blocking.prefix_filtered_top_n
+    real_exact = pl.cosine_top_n
+
+    def spy_prefix(*a, **k):
+        calls["prefix"] += 1
+        return real_prefix(*a, **k)
+
+    def spy_exact(*a, **k):
+        calls["exact"] += 1
+        return real_exact(*a, **k)
+
+    monkeypatch.setattr(blocking, "prefix_filtered_top_n", spy_prefix)
+    monkeypatch.setattr(pl, "cosine_top_n", spy_exact)
+
+    # hot block (~36 masters) is above this probe threshold; prefix 12
+    # keeps gram overlap decision-identical on the singleton blocks at a
+    # real threshold (at threshold 0 even a one-shared-gram garbage name
+    # "matches" on the exhaustive path -- not a decision any run keeps)
+    cfg_auto = MatchConfig(threshold=50.0, auto_prefix_threshold=20,
+                           auto_prefix_size=12)
+    got = {
+        int(r["a_id"]): int(r["b_id"])
+        for r in match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                             group_col_a="blk", group_col_b="blk",
+                             config=cfg_auto).collect()
+    }
+    assert calls == {"prefix": 1, "exact": 0}, calls
+
+    # control: threshold far above the hot block size -> exact path
+    cfg_exact = MatchConfig(threshold=50.0, auto_prefix_threshold=10_000)
+    want = {
+        int(r["a_id"]): int(r["b_id"])
+        for r in match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                             group_col_a="blk", group_col_b="blk",
+                             config=cfg_exact).collect()
+    }
+    assert calls["exact"] == 1
+    assert got == want
