@@ -244,6 +244,13 @@ def _q_langid(spark, sf_dir):
                       F.col("lang_score").cast("int").alias("lang_score"))
 
 
+def _q_langid_counts(spark, sf_dir):
+    from name_matching_spark.operators.textstats import lang_id_counts
+
+    d = _read(spark, sf_dir, "documents")
+    return lang_id_counts(d, "doc_id", "text")
+
+
 def _q_quality(spark, sf_dir):
     from name_matching_spark.operators.textstats import quality_score
 
@@ -406,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_jaccard_pairs": _q_lsh_jaccard_pairs,
         "langid": _q_langid,
+        "langid_counts": _q_langid_counts,
         "quality_score": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
@@ -543,6 +551,40 @@ def _langid_sql() -> str:
                         ELSE '{langs[-1]}' END AS lang_pred,
                    CAST({greatest} AS INT) AS lang_score
             FROM sc
+        """
+
+
+def _langid_counts_sql() -> str:
+    """DuckDB twin of operators/textstats.py::lang_id_counts, GENERATED
+    from the same LANG_MARKERS table (marker VALUES list embedded)."""
+    from name_matching_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    values = ", ".join(f"('{lang}', '{w}')"
+                       for lang in langs for w in LANG_MARKERS[lang])
+    return f"""
+            WITH m(lang, word) AS (VALUES {values}),
+            w AS (
+                SELECT doc_id AS id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT id, lang, count(*) AS cnt
+                FROM w JOIN m USING (word) GROUP BY id, lang
+            ),
+            r AS (
+                SELECT id, lang, cnt,
+                       row_number() OVER (PARTITION BY id
+                           ORDER BY cnt DESC, lang ASC) AS rn
+                FROM c
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(r.lang, '{langs[0]}') AS lang_pred,
+                   CAST(coalesce(r.cnt, 0) AS INT) AS lang_score
+            FROM documents d
+            LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON r.id = d.doc_id
         """
 
 
@@ -875,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
         """,
         "langid": _langid_sql(),
+        "langid_counts": _langid_counts_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "quality_score": r"""
             WITH q AS (

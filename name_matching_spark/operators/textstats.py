@@ -12,33 +12,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# marker-word sets per language: high-frequency function words,
-# ASCII-only (both engines lowercase them identically), deterministic and
-# oracle-replicable (the DuckDB SQL is GENERATED from this table, see
-# __spark_entry__.py, so the two sides cannot drift).  Cross-language
-# collisions (e.g. nl/de "met"/"mit") are fine -- classification is the
+# marker-word sets per language: high-frequency function words that are
+# NATURALLY ASCII in that language's real orthography (round 3 dropped
+# ascii-folded fakes like tr "icin"/için, pl "sie"/się, pt "nao"/não --
+# those never occur in properly-written text, so they only ever matched
+# pre-folded corpora).  Deterministic and oracle-replicable: the DuckDB
+# SQL is GENERATED from this table (see __spark_entry__.py), so the two
+# sides cannot drift.  Cross-language collisions (nl/de "met"/"mit",
+# da/sv "det", es/it "come"/"como") are fine -- classification is the
 # argmax of per-language hit counts, ties broken by language code.
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "is", "with", "that", "this", "from",
-           "have", "are", "was", "which", "their", "about", "would"],
-    "nl": ["de", "het", "een", "van", "met", "voor", "niet", "zijn",
-           "aan", "ook", "maar", "naar", "wordt", "deze", "hebben"],
+    "cs": ["se", "na", "je", "ale", "jako", "jsou", "jsem", "byla",
+           "nebo", "tak", "pro", "aby", "tento", "kdy", "toto"],
+    "da": ["og", "er", "til", "det", "ikke", "jeg", "han", "hun",
+           "der", "som", "med", "af", "for", "den", "har"],
     "de": ["der", "und", "das", "ein", "mit", "nicht", "auch", "eine",
            "sich", "auf", "werden", "wurde", "dass", "durch", "wird"],
-    "fr": ["le", "la", "les", "des", "avec", "pour", "dans", "est",
-           "sont", "une", "qui", "pas", "plus", "sur", "cette"],
+    "en": ["the", "and", "of", "is", "with", "that", "this", "from",
+           "have", "are", "was", "which", "their", "about", "would"],
     "es": ["el", "los", "las", "una", "con", "para", "por", "como",
            "pero", "sus", "esta", "entre", "cuando", "sobre", "muy"],
+    "fi": ["ja", "on", "ei", "mutta", "joka", "kun", "ovat", "oli",
+           "sen", "se", "ne", "tai", "jos", "vain", "kaikki"],
+    "fr": ["le", "la", "les", "des", "avec", "pour", "dans", "est",
+           "sont", "une", "qui", "pas", "plus", "sur", "cette"],
+    "hu": ["hogy", "nem", "egy", "meg", "csak", "van", "volt", "mint",
+           "azt", "arra", "ezt", "vagy", "mert", "lesz", "minden"],
+    "id": ["yang", "dan", "di", "dengan", "untuk", "tidak", "dari",
+           "ini", "itu", "pada", "adalah", "akan", "juga", "atau",
+           "sudah"],
     "it": ["il", "gli", "della", "delle", "che", "per", "sono", "come",
-           "anche", "nella", "questo", "piu", "dal", "degli", "alla"],
-    "pt": ["nao", "dos", "uma", "com", "mas", "seus", "tambem", "voce",
-           "muito", "sao", "pelo", "pela", "isso", "mais", "quem"],
+           "anche", "nella", "questo", "ancora", "dal", "degli", "alla"],
+    "nl": ["de", "het", "een", "van", "met", "voor", "niet", "zijn",
+           "aan", "ook", "maar", "naar", "wordt", "deze", "hebben"],
+    "pl": ["nie", "jest", "przez", "oraz", "tym", "jak", "dla", "tego",
+           "jego", "czy", "tylko", "kiedy", "bardzo", "wszystko",
+           "ponad"],
+    "pt": ["dos", "das", "uma", "com", "mas", "seus", "muito", "pelo",
+           "pela", "isso", "mais", "quem", "ele", "ela", "foi"],
+    "ro": ["este", "sunt", "care", "din", "pentru", "dar", "fost",
+           "sau", "acest", "acum", "doar", "chiar", "toate", "nostru",
+           "unde"],
     "sv": ["och", "att", "det", "som", "av", "inte", "har", "till",
            "den", "ett", "om", "kan", "ska", "efter", "under"],
-    "pl": ["nie", "jest", "sie", "przez", "oraz", "tym", "jak", "dla",
-           "tego", "jego", "ktory", "byl", "czy", "juz", "tylko"],
-    "tr": ["bir", "ve", "bu", "icin", "ile", "olarak", "daha", "cok",
-           "ama", "gibi", "sonra", "kadar", "yeni", "olan", "ancak"],
+    "tr": ["bir", "ve", "bu", "ile", "olarak", "daha", "ama", "gibi",
+           "sonra", "kadar", "yeni", "olan", "ancak", "var", "bunu"],
 }
 
 # BPE-ish word/number/punctuation splitter (GPT-2-style simplified)
@@ -75,6 +93,44 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         best["l"].alias("lang_pred"),
         best["s"].alias("lang_score"),
     )
+
+
+def lang_id_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (id, lang_pred, lang_score): occurrence-weighted language ID.
+
+    Tokenizes to lowercase ASCII letter runs (``[a-z]+`` -- punctuation-
+    adjacent markers count, unlike lang_id's space-delimited contains),
+    joins the small (lang, word) marker table broadcast, sums occurrences
+    per (doc, lang), and argmaxes per doc (count desc, lang asc).  More
+    discriminative than presence bits on real text and the right plan at
+    scale: explode -> broadcast equi-join -> partial agg -> per-doc
+    window over <=n_langs rows.  Docs with zero marker hits get the
+    alphabetically-first language with score 0 (lang_id's all-zero
+    tie-break)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    langs = sorted(LANG_MARKERS)
+    markers = [(lang, w) for lang in langs for w in LANG_MARKERS[lang]]
+    mtab = spark.createDataFrame(markers, "lang string, word string")
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)).alias("word"))
+    counts = (words.join(F.broadcast(mtab), "word")
+              .groupBy("id", "lang").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(),
+                                         F.col("lang").asc())
+    best = (counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(best, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("lang"), F.lit(langs[0]))
+                    .alias("lang_pred"),
+                    F.coalesce(F.col("cnt"), F.lit(0)).cast("int")
+                    .alias("lang_score")))
 
 
 def _n_words(c):
