@@ -305,6 +305,41 @@ def _q_match_parts_e2e(spark, sf_dir):
                       "source")
 
 
+def _q_match_parts_permetric(spark, sf_dir):
+    """O18 per-metric ranking variant end to end: number_of_matches ==
+    metric count (5 for the default ensemble) dispatches rate_matches'
+    per-metric-column argmax -- one output slot per metric, run through
+    the full pipeline (exact short-circuit + prefix blocking + ensemble
+    scoring + threshold)."""
+    from name_matching_spark.pipeline import MatchConfig, match_names
+
+    masters = _part_names(spark, sf_dir)
+    queries = _query_names(spark, sf_dir)
+    res = match_names(spark, queries, masters, "id", "name", "id", "name",
+                      config=MatchConfig(threshold=50.0, top_n=10,
+                                         prefix_size=6,
+                                         number_of_matches=5))
+    return res.select("a_id", "b_id",
+                      F.col("position").cast("int").alias("position"),
+                      F.round("score", 6).alias("score"), "source")
+
+
+def _q_match_parts_split(spark, sf_dir):
+    """preprocess_split dispatch end to end: a second candidate search on
+    common-word-reduced query names, candidate sets merged (max cosine,
+    min rank) before scoring."""
+    from name_matching_spark.pipeline import MatchConfig, match_names
+
+    masters = _part_names(spark, sf_dir)
+    queries = _query_names(spark, sf_dir)
+    res = match_names(spark, queries, masters, "id", "name", "id", "name",
+                      config=MatchConfig(threshold=50.0, top_n=10,
+                                         prefix_size=6,
+                                         preprocess_split=True))
+    return res.select("a_id", "b_id", F.round("score", 6).alias("score"),
+                      "source")
+
+
 def _q_simhash(spark, sf_dir):
     from name_matching_spark.operators.dedup import simhash
 
@@ -421,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-oracled via generated SQL / expected tables
         "rated_matches_groups": _q_rated_matches_groups,
         "match_parts_e2e": _q_match_parts_e2e,
+        "match_parts_permetric_e2e": _q_match_parts_permetric,
+        "match_parts_split_e2e": _q_match_parts_split,
         "simhash_docs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1064,6 +1101,14 @@ def oracle_sql() -> dict[str, str]:
         "match_parts_e2e": """
             SELECT a_id, b_id, score, source
             FROM read_parquet('/root/repo/expected/match_parts_sf001.parquet')
+        """,
+        "match_parts_permetric_e2e": """
+            SELECT a_id, b_id, position, score, source FROM read_parquet(
+                '/root/repo/expected/match_parts_permetric_sf001.parquet')
+        """,
+        "match_parts_split_e2e": """
+            SELECT a_id, b_id, score, source FROM read_parquet(
+                '/root/repo/expected/match_parts_split_sf001.parquet')
         """,
         "cluster_pages_e2e": """
             SELECT id, component

@@ -34,6 +34,28 @@ class OracleMatch:
     score: float
 
 
+def reduce_names_local(names: list[str],
+                       occurrence_count: int = 3) -> list[str]:
+    """Oracle twin of pipeline.reduce_query_names (reference
+    _preprocess_reduce): word counts over the WHOLE column, each string
+    keeps only words whose count is below ``occurrence_count`` times the
+    count of its own rarest word; word order preserved."""
+    from collections import Counter
+
+    counts: Counter = Counter(
+        w for n in names for w in n.split(" ") if w)
+    out = []
+    for n in names:
+        ws = [w for w in n.split(" ") if w]
+        if not ws:
+            out.append("")
+            continue
+        min_cnt = min(counts[w] for w in ws)
+        out.append(" ".join(
+            w for w in ws if counts[w] < occurrence_count * min_cnt))
+    return out
+
+
 class OracleMatcher:
     """Pure-Python equivalent of NameMatcher (1:N best match)."""
 
@@ -47,10 +69,12 @@ class OracleMatcher:
         cut_off: float = 0.01,
         prefix_size: int | None = None,
         df_cap_frac: float | None = 0.25,
+        preprocess_split: bool = False,
     ):
         self.top_n = top_n
         self.prefix_size = prefix_size
         self.df_cap_frac = df_cap_frac
+        self.preprocess_split = preprocess_split
         self.fns = flat_metric_fns(metrics)
         self.cfg = cfg
         self._legal_suffixes = legal_suffixes
@@ -76,20 +100,44 @@ class OracleMatcher:
             means.append(sum(scores) / len(scores))
         return means
 
-    def match(self, query_names: list[str]) -> list[OracleMatch]:
-        queries = [preprocess_name(n, self.cfg) for n in query_names]
+    def _gen_candidates(self, queries: list[str]):
         if self.prefix_size is not None:
-            cand_lists = self.oracle.top_n_prefix(
+            return self.oracle.top_n_prefix(
                 queries, self.top_n, prefix_size=self.prefix_size,
                 df_cap_frac=self.df_cap_frac)
-        else:
-            cand_lists = self.oracle.top_n(queries, self.top_n)
+        return self.oracle.top_n(queries, self.top_n)
+
+    def candidate_ids(self, queries: list[str]) -> list[list[int]]:
+        """Per query: candidate master ids in ranking-tie-break order.
+
+        Default: the blocker's (cosine desc, mid asc) order.  With
+        preprocess_split, a second candidate search runs on the common-
+        word-reduced query names and the sets merge like the pipeline's
+        union-agg (rank := min rank across the two sets), ordered by
+        (min_rank, mid) -- the Spark window's (rank asc, mid asc)
+        tie-break."""
+        cands = self._gen_candidates(queries)
+        if not self.preprocess_split:
+            return [[m for m, _ in cl] for cl in cands]
+        cands2 = self._gen_candidates(reduce_names_local(queries))
+        merged: list[list[int]] = []
+        for cl, cl2 in zip(cands, cands2):
+            best: dict[int, int] = {}
+            for lst in (cl, cl2):
+                for rank, (mid, _) in enumerate(lst, start=1):
+                    best[mid] = min(best.get(mid, rank), rank)
+            merged.append([mid for mid, _ in
+                           sorted(best.items(), key=lambda t: (t[1], t[0]))])
+        return merged
+
+    def match(self, query_names: list[str]) -> list[OracleMatch]:
+        queries = [preprocess_name(n, self.cfg) for n in query_names]
+        cand_lists = self.candidate_ids(queries)
         out: list[OracleMatch] = []
-        for qid, (q, cands) in enumerate(zip(queries, cand_lists)):
-            if not cands:
+        for qid, (q, cand_ids) in enumerate(zip(queries, cand_lists)):
+            if not cand_ids:
                 out.append(OracleMatch(qid, q, None, None, 0.0))
                 continue
-            cand_ids = [m for m, _ in cands]
             cand_names = [self.master_names[m] for m in cand_ids]
             means = self._score(q, cand_names)
             # argmax, ties by first occurrence (candidates are ordered by
@@ -136,6 +184,57 @@ def run_nm_oracle_pairs(
         for i, om in zip(unmatched, m.match([la[i] for i in unmatched])):
             if om.match_id is not None and om.score > threshold:
                 rows.append((i, om.match_id, om.score, "fuzzy"))
+    return [r for r in rows if r[2] > threshold]
+
+
+def run_nm_oracle_pairs_variant(
+    names_a: list[str],
+    names_b: list[str],
+    number_of_matches: int,
+    threshold: float = 95.0,
+    metrics=DEFAULT_METRICS,
+    **matcher_kwargs,
+) -> list[tuple[int, int, float, int, str]]:
+    """Pairs oracle for the O18 ranking-variant dispatch
+    (number_of_matches == metric-group count or metric count): per
+    unmatched query, the (n_candidates, n_metrics) score matrix is
+    ranked by ``rate_matches_local`` and each output slot emits the
+    chosen candidate with score = 100 * its overall mean.  Exact matches
+    occupy slot 0.  Returns (i, j, score, position, source)."""
+    import numpy as np
+
+    from .ranking import metric_group_sizes, rate_matches_local
+
+    la = [light_preprocess_name(n) for n in names_a]
+    lb = [light_preprocess_name(n) for n in names_b]
+    b_map: dict[str, list[int]] = {}
+    for j, n in enumerate(lb):
+        if n:
+            b_map.setdefault(n, []).append(j)
+    rows: list[tuple[int, int, float, int, str]] = []
+    unmatched: list[int] = []
+    for i, n in enumerate(la):
+        if n and n in b_map:
+            rows.extend((i, j, 100.0, 0, "exact") for j in b_map[n])
+        else:
+            unmatched.append(i)
+    if unmatched:
+        m = OracleMatcher(metrics=metrics, **matcher_kwargs)
+        m.load_master(lb)
+        gs = metric_group_sizes(metrics)
+        queries = [preprocess_name(la[i], m.cfg) for i in unmatched]
+        cand_lists = m.candidate_ids(queries)
+        for i, q, cand_ids in zip(unmatched, queries, cand_lists):
+            if not cand_ids:
+                continue
+            mat = np.array(
+                [[fn(str(q), str(m.master_names[mid])) for fn in m.fns]
+                 for mid in cand_ids])
+            for slot, ci in enumerate(
+                    rate_matches_local(mat, number_of_matches, gs)):
+                score = 100.0 * float(mat[ci].mean())
+                if score > threshold:
+                    rows.append((i, cand_ids[ci], score, slot, "fuzzy"))
     return [r for r in rows if r[2] > threshold]
 
 

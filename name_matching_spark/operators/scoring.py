@@ -161,9 +161,12 @@ def rate_matches(
     n_groups = len(group_sizes)
     n_metrics = int(sum(group_sizes))
 
+    # `mid` is the tertiary tie-break: rank is unique per qid within one
+    # candidate set, but preprocess_split's union-agg takes min(rank) over
+    # two sets, which can collide -- mid keeps the pick deterministic
     def _argmax_by(col):
         w = Window.partitionBy(GROUP_COL, "qid").orderBy(
-            col.desc(), F.col("rank").asc())
+            col.desc(), F.col("rank").asc(), F.col("mid").asc())
         return F.row_number().over(w)
 
     base_cols = [c for c in scored.columns if c != "scores"]
@@ -174,7 +177,8 @@ def rate_matches(
         shuffles of the scored table -- a 29-shuffle plan at the per-metric
         variant).  Same argmax semantics per slot; one shuffle total."""
         w = Window.partitionBy(GROUP_COL, "qid", "position").orderBy(
-            F.col("__slot_score").desc(), F.col("rank").asc())
+            F.col("__slot_score").desc(), F.col("rank").asc(),
+            F.col("mid").asc())
         return (scored
                 .select("*", F.posexplode(F.array(*slot_exprs))
                         .alias("position", "__slot_score"))
@@ -217,7 +221,7 @@ def best_matches(scored: DataFrame, number_of_matches: int = 1) -> DataFrame:
     (cosine order) like the oracle.
     """
     w = Window.partitionBy(GROUP_COL, "qid").orderBy(
-        F.col("mean_score").desc(), F.col("rank").asc())
+        F.col("mean_score").desc(), F.col("rank").asc(), F.col("mid").asc())
     return (
         scored.withColumn("match_rank", F.row_number().over(w))
         .filter(F.col("match_rank") <= number_of_matches)

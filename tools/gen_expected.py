@@ -29,6 +29,7 @@ from name_matching_spark.functions.extract import extract_name_bytes  # noqa: E4
 from name_matching_spark.nm_core.oracle import (  # noqa: E402
     connected_components_local,
     run_nm_oracle_pairs,
+    run_nm_oracle_pairs_variant,
 )
 from name_matching_spark.sources.pages import pages_rows  # noqa: E402
 
@@ -66,6 +67,63 @@ def gen_match_parts(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return path
 
 
+def _parts_corpus(sf_dir: str):
+    con = duckdb.connect()
+    masters = con.execute(
+        f"SELECT p_partkey, p_name "
+        f"FROM read_parquet('{sf_dir}/part.parquet') ORDER BY p_partkey"
+    ).fetchall()
+    queries = [(k, n[: len(n) - 2]) for k, n in masters
+               if k % 17 == 0 and len(n) > 6]
+    return masters, queries
+
+
+def gen_match_parts_permetric(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Expected output of entry query match_parts_permetric_e2e: the O18
+    per-metric ranking variant (number_of_matches == metric count == 5 for
+    the default ensemble) end to end -- one output slot per metric
+    column."""
+    masters, queries = _parts_corpus(sf_dir)
+    rows = run_nm_oracle_pairs_variant(
+        [n for _, n in queries], [n for _, n in masters],
+        number_of_matches=5, threshold=50.0, top_n=10, prefix_size=6,
+        df_cap_frac=0.25)
+    tbl = pa.table({
+        "a_id": pa.array([queries[i][0] for i, *_ in rows], pa.int64()),
+        "b_id": pa.array([masters[j][0] for _, j, *_ in rows], pa.int64()),
+        "position": pa.array([p for _, _, _, p, _ in rows], pa.int32()),
+        "score": pa.array([round(s, 6) for _, _, s, _, _ in rows],
+                          pa.float64()),
+        "source": pa.array([src for *_, src in rows], pa.string()),
+    })
+    path = os.path.join(OUT_DIR, "match_parts_permetric_sf001.parquet")
+    pq.write_table(tbl, path)
+    print(f"{path}: {tbl.num_rows} rows")
+    return path
+
+
+def gen_match_parts_split(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Expected output of entry query match_parts_split_e2e: the
+    preprocess_split dispatch (second candidate search on common-word-
+    reduced query names, candidate sets merged) end to end."""
+    masters, queries = _parts_corpus(sf_dir)
+    rows = run_nm_oracle_pairs(
+        [n for _, n in queries], [n for _, n in masters],
+        threshold=50.0, top_n=10, prefix_size=6, df_cap_frac=0.25,
+        preprocess_split=True)
+    tbl = pa.table({
+        "a_id": pa.array([queries[i][0] for i, _, _, _ in rows], pa.int64()),
+        "b_id": pa.array([masters[j][0] for _, j, _, _ in rows], pa.int64()),
+        "score": pa.array([round(s, 6) for _, _, s, _ in rows],
+                          pa.float64()),
+        "source": pa.array([src for _, _, _, src in rows], pa.string()),
+    })
+    path = os.path.join(OUT_DIR, "match_parts_split_sf001.parquet")
+    pq.write_table(tbl, path)
+    print(f"{path}: {tbl.num_rows} rows")
+    return path
+
+
 def gen_cluster_pages(entities: int = 40, variants: int = 2) -> str:
     """Expected output of entry query cluster_pages_e2e: extract -> link
     (threshold 50) -> transitive components over the match edges."""
@@ -92,4 +150,6 @@ def gen_cluster_pages(entities: int = 40, variants: int = 2) -> str:
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     gen_match_parts()
+    gen_match_parts_permetric()
+    gen_match_parts_split()
     gen_cluster_pages()
