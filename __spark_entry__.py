@@ -10,6 +10,7 @@ summation-order independent.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,34 @@ _DOCS_AUG_SQL = """
     UNION ALL SELECT doc_id + 10000, text FROM documents
     UNION ALL SELECT doc_id + 20000, substring(text, 1, length(text) - 8)
     FROM documents
+"""
+
+def _emb_aug(spark, sf_dir):
+    """embeddings (cast to double) + near-duplicate twins: the first 60
+    vectors re-appear with id+10000 and coordinate 0 shifted by +0.25 (an
+    exact binary fraction, so double arithmetic is bit-identical across
+    engines).  Shifted twins sit at cosine ~0.99 -- above the near-dup
+    threshold but not a degenerate exact copy."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    twin = e.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.col("v")[0] + F.lit(0.25)),
+                 F.slice("v", 2, 63)).alias("v"))
+    return e.unionByName(twin)
+
+
+_EMB_AUG_SQL = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000,
+           list_concat([v[1] + 0.25], v[2:])
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+    WHERE vec_id < 60
 """
 
 _PART_GRAMS_SQL = """
@@ -340,6 +369,42 @@ def _q_match_parts_split(spark, sf_dir):
                       "source")
 
 
+def _q_streaming_linkage(spark, sf_dir):
+    """Structured-Streaming incremental linkage: the SAME query corpus as
+    match_parts_e2e arrives as three file-source micro-batches; each is
+    matched against the static masters via foreachBatch and appended to a
+    checkpointed parquet sink.  Every blocking/scoring stage is fit on the
+    master side only, so micro-batch boundaries cannot change decisions --
+    the streamed output is value-oracled against the SAME expected table
+    as the one-shot batch run."""
+    import shutil
+    import tempfile
+
+    from name_matching_spark.pipeline import MatchConfig
+    from name_matching_spark.streaming.incremental import (
+        incremental_match, stream_pages, write_query_segments)
+
+    masters = _part_names(spark, sf_dir)
+    queries = _query_names(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="nm_stream_entry_")
+    seg_dir = os.path.join(root, "segments")
+    out_dir = os.path.join(root, "matches")
+    ckpt_dir = os.path.join(root, "ckpt")
+    write_query_segments(queries, seg_dir, n_segments=3)
+    stream = stream_pages(spark, seg_dir, schema="id bigint, name string",
+                          max_files_per_trigger=1)
+    incremental_match(
+        stream, masters, "id", "name", "id", "name",
+        output_dir=out_dir, checkpoint_dir=ckpt_dir,
+        config=MatchConfig(threshold=50.0, top_n=10, prefix_size=6))
+    res = spark.read.parquet(out_dir).select(
+        "a_id", "b_id", F.round("score", 6).alias("score"), "source")
+    res = res.persist()
+    res.count()                      # materialize before tmp cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _q_simhash(spark, sf_dir):
     from name_matching_spark.operators.dedup import simhash
 
@@ -366,6 +431,18 @@ def _q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     return lsh_bucket_topk(e, q, k=5, dim=64, num_planes=6, num_tables=4,
                            round_decimals=6)
+
+
+def _q_emb_near_dups(spark, sf_dir):
+    """Embedding near-dup at scale: LSH sign-bucket self-join candidates +
+    exact-cosine verify (bucket-local, not all-pairs) over the augmented
+    (twin-containing) embeddings."""
+    from name_matching_spark.operators.ann import embedding_near_dups_lsh
+
+    e = _emb_aug(spark, sf_dir)
+    return embedding_near_dups_lsh(
+        e, id_col="vec_id", vec_col="v", min_cosine=0.9,
+        dim=64, num_planes=4, num_tables=8, round_decimals=6)
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -456,11 +533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-oracled via generated SQL / expected tables
         "rated_matches_groups": _q_rated_matches_groups,
         "match_parts_e2e": _q_match_parts_e2e,
+        "streaming_linkage_e2e": _q_streaming_linkage,
         "match_parts_permetric_e2e": _q_match_parts_permetric,
         "match_parts_split_e2e": _q_match_parts_split,
         "simhash_docs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "emb_near_dups_lsh": _q_emb_near_dups,
         "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
         "cluster_pages_e2e": _q_cluster_pages,
@@ -680,6 +759,47 @@ def _ann_lsh_sql(k: int = 5, dim: int = 64, num_planes: int = 6,
             )
             SELECT qid, vec_id, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= {k}
+        """
+
+
+def _emb_near_dup_sql(min_cosine: float = 0.9, dim: int = 64,
+                      num_planes: int = 4, num_tables: int = 8) -> str:
+    """DuckDB twin of operators/ann.py::embedding_near_dups_lsh over the
+    augmented embeddings -- GENERATED from the same md5-deterministic
+    hyperplane table (plane components as double literals), same 9-dp
+    sign-test rounding, cosine rounded to 6 before the threshold."""
+    from name_matching_spark.operators.ann import _hyperplane
+
+    def sig_expr(vcol: str, table: int) -> str:
+        bits = []
+        for p in range(num_planes):
+            plane = _hyperplane(table * 1000 + p, dim)
+            lits = ", ".join(repr(x) for x in plane)
+            bits.append(
+                f"(CASE WHEN round(list_dot_product({vcol}, [{lits}]), 9)"
+                f" >= 0 THEN '1' ELSE '0' END)")
+        joined = " || ".join(bits)
+        return f"'t{table}:' || {joined}"
+
+    sigs = ", ".join(sig_expr("v", t) for t in range(num_tables))
+    return f"""
+            WITH e AS ({_EMB_AUG_SQL}),
+            vb AS (
+                SELECT vec_id, v, unnest([{sigs}]) AS bucket FROM e
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                                b.vec_id AS id_b, b.v AS vb
+                FROM vb a JOIN vb b USING (bucket)
+                WHERE a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT id_a, id_b,
+                       round(list_cosine_similarity(va, vb), 6) AS cosine
+                FROM cand
+            )
+            SELECT id_a, id_b, cosine FROM scored
+            WHERE cosine >= {min_cosine}
         """
 
 
@@ -956,6 +1076,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_sql(),
         "langid_counts": _langid_counts_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "emb_near_dups_lsh": _emb_near_dup_sql(),
         "quality_score": r"""
             WITH q AS (
                 SELECT doc_id AS id, text,
@@ -1099,6 +1220,10 @@ def oracle_sql() -> dict[str, str]:
         # golden values) by tools/gen_expected.py at the driver's
         # correctness scale (sf0.01 / the deterministic pages corpus)
         "match_parts_e2e": """
+            SELECT a_id, b_id, score, source
+            FROM read_parquet('/root/repo/expected/match_parts_sf001.parquet')
+        """,
+        "streaming_linkage_e2e": """
             SELECT a_id, b_id, score, source
             FROM read_parquet('/root/repo/expected/match_parts_sf001.parquet')
         """,

@@ -73,6 +73,24 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return [x / norm for x in out]
 
 
+def _sig_col(vcol, table: int, dim: int, num_planes: int):
+    """Sign-signature bucket key for one LSH table: num_planes md5-derived
+    hyperplane dots, each rounded to 9 decimals before the sign test so
+    bucket assignment is summation-order independent across engines."""
+    bits = []
+    for p in range(num_planes):
+        plane = _hyperplane(table * 1000 + p, dim)
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(vcol,
+                           F.array(*[F.lit(x) for x in plane]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x),
+            9)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(F.lit(f"t{table}:"), *bits)
+
+
 def lsh_bucket_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -93,31 +111,17 @@ def lsh_bucket_topk(
     before the sign test and ``round_decimals`` rounds the final cosine,
     making bucket assignment and ranking summation-order independent.
     """
-    def sig_col(vcol, table):
-        bits = []
-        for p in range(num_planes):
-            plane = _hyperplane(table * 1000 + p, dim)
-            dot = F.round(
-                F.aggregate(
-                    F.zip_with(vcol,
-                               F.array(*[F.lit(x) for x in plane]),
-                               lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, x: acc + x),
-                9)
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(F.lit(f"t{table}:"), *bits)
-
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
     q = queries.select(F.col(qid_col).alias("qid"),
                        _as_double_array(F.col(qvec_col)).alias("qv"))
     v_b = v.select(
         "vec_id", "v",
-        F.explode(F.array(*[sig_col(F.col("v"), t)
+        F.explode(F.array(*[_sig_col(F.col("v"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
     q_b = q.select(
         "qid", "qv",
-        F.explode(F.array(*[sig_col(F.col("qv"), t)
+        F.explode(F.array(*[_sig_col(F.col("qv"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
     cand = (
         v_b.join(q_b, "bucket")
@@ -210,13 +214,58 @@ def kmeans_centroids(vectors: DataFrame, n_cells: int = 16,
     return spark.createDataFrame(rows, "cid int, cvec array<double>")
 
 
+def embedding_near_dups_lsh(
+    vectors: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", min_cosine: float = 0.9,
+    dim: int = 64, num_planes: int = 4, num_tables: int = 8,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """-> (id_a, id_b, cosine): embedding near-duplicates, the scale path.
+
+    Candidate pairs are vectors sharing a sign-bucket in ANY of
+    ``num_tables`` LSH tables (bucket-local self equi-join -- NOT the
+    quadratic all-pairs cross of ``embedding_near_dups``); exact cosine is
+    verified on candidates only.  Candidate volume per table is
+    sum_b n_b^2 over bucket occupancies (~ n^2 / 2^num_planes for balanced
+    buckets) and the join shuffles on the bucket key, so the plan is
+    partition-local at 100 TB the same way minhash-LSH dedup is.  A pair at
+    cosine c agrees with one plane w.p. 1 - acos(c)/pi, so recall at the
+    default (4 planes x 8 tables, c >= 0.9) is ~0.99.
+
+    Fully deterministic (md5 hyperplanes, 9-dp sign-test rounding), hence
+    value-oracle-able via generated SQL with literal plane components.
+    """
+    v = vectors.select(F.col(id_col).alias("id"),
+                       _as_double_array(F.col(vec_col)).alias("v"))
+    v_b = v.select(
+        "id", "v",
+        F.explode(F.array(*[_sig_col(F.col("v"), t, dim, num_planes)
+                            for t in range(num_tables)])).alias("bucket"))
+    a = v_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   "bucket")
+    b = v_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb").distinct()
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+    )
+    if round_decimals is not None:
+        cand = cand.withColumn(
+            "cosine", F.round(F.col("cosine"), round_decimals))
+    return (cand.filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))
+
+
 def embedding_near_dups(vectors: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         min_cosine: float = 0.95) -> DataFrame:
     """-> (id_a, id_b, cosine): all-pairs cosine near-duplicates.
 
     Quadratic verify -- use only downstream of an LSH candidate pass at
-    scale; kept exact here as the dedup oracle baseline."""
+    scale (``embedding_near_dups_lsh``); kept exact here as the dedup
+    oracle baseline."""
     v = vectors.select(F.col(id_col).alias("id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))

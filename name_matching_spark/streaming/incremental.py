@@ -1,0 +1,167 @@
+"""Incremental record linkage over a stream of web pages.
+
+The reference engine is batch-only (SURVEY.md: no streaming surface), but a
+Common-Crawl-scale ingest is naturally continuous: new WARC segments land
+while the master entity table stays put.  This module runs the SAME
+``pipeline.match_names`` logic incrementally with Structured Streaming:
+
+    readStream (file source over the pages/queries table)
+      -> foreachBatch: match_names(micro_batch, static_masters)
+      -> append parquet, exactly-once via checkpointLocation
+
+Why ``foreachBatch`` and not a fully streaming join: blocking + scoring is
+a multi-stage batch plan (TF-IDF join, window top-k, Arrow-batched scoring
+UDF) that Structured Streaming cannot express as one incremental query, and
+it does not need to -- every stage is fit on the MASTER side only (IDF,
+df-caps, prefix postings), so each query row's match decision is
+independent of every other query row.  Micro-batch boundaries therefore
+cannot change decisions: streaming output == one-shot batch output, row for
+row (asserted in tests/test_streaming.py and value-oracled by the
+``streaming_linkage_e2e`` entry query against the same NumPy-oracle
+expected table as the batch run).
+
+That master-side-only property is also what makes this correct at 100 TB:
+the static side is prepared once (broadcast-or-bucketed, reused across
+micro-batches), each micro-batch shuffles only its own rows, and Spark's
+streaming checkpoint (offset log + batch-id-transactional parquet sink)
+gives kill-and-resume without reprocessing committed batches -- the
+streaming twin of checkpoint.StageCheckpoint's resume story.
+
+Config constraint: ``preprocess_split`` and ``common_words`` derive state
+from the WHOLE query corpus (word frequencies), so they are inherently
+batch-global; ``incremental_match`` raises on them instead of silently
+changing semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline import MatchConfig, match_names
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 schema: str = PAGES_SCHEMA,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a directory of pages parquet files.
+
+    New files (WARC-segment drops) become micro-batches; the schema is the
+    input_hint pages shape.  ``max_files_per_trigger`` bounds micro-batch
+    size so one giant segment drop cannot blow executor memory."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def incremental_match(
+    stream_df: DataFrame,
+    masters: DataFrame,
+    id_col: str,
+    name_col: str,
+    master_id_col: str,
+    master_name_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config: MatchConfig = MatchConfig(),
+    available_now: bool = True,
+):
+    """Run match_names on each micro-batch of ``stream_df`` against the
+    static ``masters`` table; append matches to ``output_dir`` parquet.
+
+    Exactly-once: the streaming checkpoint records committed batch ids, so
+    a killed-and-restarted query re-runs only uncommitted batches and the
+    parquet sink commit protocol keeps partial batch output invisible.
+
+    Returns the StreamingQuery (already terminated when available_now).
+    """
+    if config.preprocess_split or config.common_words:
+        raise ValueError(
+            "preprocess_split/common_words derive state from the whole "
+            "query corpus and are not micro-batch invariant; run those "
+            "via the batch pipeline")
+    spark = masters.sparkSession
+    # prepare the static side once; every micro-batch plan reuses it
+    masters = masters.persist()
+    masters.count()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = match_names(
+            spark, batch_df, masters, id_col, name_col,
+            master_id_col, master_name_col, config=config)
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        masters.unpersist()
+    else:
+        q = writer.start()
+    return q
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame, id_col: str, text_col: str,
+    output_dir: str, checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming exact dedup: first-seen row per text hash survives.
+
+    Uses ``dropDuplicates`` on the content hash -- Structured Streaming
+    keeps the seen-key set in state store, so the dedup is global across
+    micro-batches (a re-crawled page in a later segment is dropped).  At
+    100 TB the state is one hash per distinct document spread across state
+    store partitions; pair with a watermark on an event-time column when
+    re-crawls only need suppressing within a bounded window."""
+    from pyspark.sql import functions as F
+
+    deduped = (stream_df
+               .withColumn("__h", F.sha2(F.col(text_col), 256))
+               .dropDuplicates(["__h"])
+               .drop("__h"))
+    writer = (deduped.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+    return q
+
+
+def write_query_segments(df: DataFrame, out_dir: str,
+                         n_segments: int = 3) -> str:
+    """Split a batch table into n flat parquet 'segment drop' files under
+    out_dir so a file-source stream (maxFilesPerTrigger=1) sees n
+    micro-batches.  Files are flat (seg_0.parquet ...), not seg=N
+    subdirectories, which the file source would mis-read as a partition
+    column."""
+    import glob
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "__seg", F.abs(F.hash(F.col(df.columns[0]))) % n_segments)
+    for s in range(n_segments):
+        stage = os.path.join(out_dir, f"__stage_{s}")
+        (df.filter(F.col("__seg") == s).drop("__seg")
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(out_dir, f"seg_{s}.parquet"))
+        shutil.rmtree(stage)
+    return out_dir

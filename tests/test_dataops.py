@@ -155,6 +155,33 @@ def test_ivf_recall_and_self_match(spark):
     assert all((i, i) in approx for i in range(5))
 
 
+def test_embedding_near_dups_lsh_vs_quadratic(spark):
+    """The bucket-local LSH path must find the planted near-dup twins and
+    agree with the quadratic baseline on everything it reports (candidates
+    are a subset; verify is the same exact cosine)."""
+    import random
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    # plant twins: ids 100+i are ids 0..9 with one coordinate nudged
+    twins = [(100 + i, [v[0] + 0.25] + v[1:]) for i, v in
+             [(i, vecs[i][1]) for i in range(10)]]
+    df = spark.createDataFrame(vecs + twins,
+                               "vec_id long, embedding array<double>")
+    lsh = ann.embedding_near_dups_lsh(
+        df, min_cosine=0.9, dim=16, num_planes=3, num_tables=8,
+        round_decimals=9)
+    quad = ann.embedding_near_dups(df, min_cosine=0.9)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    quad_pairs = {(r["id_a"], r["id_b"]) for r in quad.collect()}
+    # every reported LSH pair is a true near-dup pair
+    assert lsh_pairs <= quad_pairs
+    # all ten planted twins recovered (tiny angle -> same bucket w.h.p.)
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= lsh_pairs
+    # and near-total recall of the quadratic truth on this corpus
+    assert len(lsh_pairs) / max(len(quad_pairs), 1) >= 0.9
+
+
 def test_ivf_kmeans_centroids(spark):
     import random
     rng = random.Random(8)
