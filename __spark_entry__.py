@@ -462,6 +462,28 @@ def _q_media_meta(spark, sf_dir):
     return decode_media(d, "doc_id", "payload")
 
 
+def _q_media_resize(spark, sf_dir):
+    """Resize plumbing over binary payloads (deterministic fake resizer;
+    binary column kept operator-side, byte accounting oracled)."""
+    from name_matching_spark.operators.multimodal import resize_media
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = resize_media(d, "doc_id", "payload", width=64, height=48)
+    return out.select("id", "width", "height", "byte_len")
+
+
+def _q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing: 4 deterministic frame keys per payload
+    (md5(payload||':'||idx) -- SQL-reproducible)."""
+    from name_matching_spark.operators.multimodal import sample_frames
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = sample_frames(d, "doc_id", "payload", n_frames=4)
+    return out.select("id", "frame_idx", "frame_key")
+
+
 def _q_rated_matches_groups(spark, sf_dir):
     """O18 per-group ranking variant (number_of_matches == metric-group
     count): pseudo-score arrays derived from md5 so DuckDB reproduces the
@@ -542,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups_lsh": _q_emb_near_dups,
         "ann_ivf_topk": _q_ann_ivf,
         "media_meta": _q_media_meta,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "cluster_pages_e2e": _q_cluster_pages,
     }
 
@@ -1256,6 +1280,21 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS height,
                    octet_length(encode(text)) > 0 AS ok
             FROM documents
+        """,
+        "media_resize": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(64 AS INT) AS width,
+                   CAST(48 AS INT) AS height,
+                   CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                             ELSE 48 END AS INT) AS byte_len
+            FROM documents
+        """,
+        "media_frames": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(t.i AS INT) AS frame_idx,
+                   md5(text || ':' || CAST(t.i AS VARCHAR)) AS frame_key
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t
         """,
         "token_counts": r"""
             SELECT doc_id AS id,

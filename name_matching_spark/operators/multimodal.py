@@ -62,6 +62,93 @@ def decode_media(df: DataFrame, id_col: str, binary_col: str,
         run, schema=MEDIA_META_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: the 'resized' payload is
+    the input cycled/truncated to width*height//64 bytes (a real resizer
+    returns re-encoded pixels; the byte-budget shape is what the Spark
+    plumbing cares about).  Replace via ``resizer=``."""
+    if not payload:
+        return b""
+    k = max(1, (width * height) // 64)
+    reps = (k // len(payload)) + 1
+    return (payload * reps)[:k]
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize hook -- requires an image library absent here."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "pass resizer=fake_resize or a library-backed callable")
+
+
+def resize_media(df: DataFrame, id_col: str, binary_col: str,
+                 width: int = 64, height: int = 64,
+                 resizer=fake_resize) -> DataFrame:
+    """-> (id, payload, width, height, byte_len) resized via mapInPandas.
+
+    Arrow-batched binary-in/binary-out: the real-codec path has the same
+    signature, so swapping ``resizer=`` is the only change needed."""
+    schema = ("id string, payload binary, width int, height int, "
+              "byte_len int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out = resizer(payload, width, height)
+                rows.append({"id": str(rid), "payload": out,
+                             "width": width, "height": height,
+                             "byte_len": len(out)})
+            yield pd.DataFrame(
+                rows, columns=["id", "payload", "width", "height",
+                               "byte_len"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def fake_frame(payload: bytes, frame_idx: int) -> str:
+    """Deterministic stand-in for video frame extraction: the frame key is
+    md5(payload || ':' || idx) -- reproducible in SQL, so the whole
+    frame-sampling plan is value-oracle-able."""
+    return hashlib.md5(payload + f":{frame_idx}".encode()).hexdigest()
+
+
+def real_frame(payload: bytes, frame_idx: int) -> str:
+    """Real frame-extraction hook -- requires a video library absent
+    here."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "pass sampler=fake_frame or a library-backed callable")
+
+
+def sample_frames(df: DataFrame, id_col: str, binary_col: str,
+                  n_frames: int = 4, sampler=fake_frame) -> DataFrame:
+    """-> (id, frame_idx, frame_key, frame_bytes): ``n_frames`` rows per
+    video payload via mapInPandas (one decode pass per payload feeding all
+    its frames -- a real decoder seeks once and emits n frames, so the
+    fan-out lives inside the batch, not as a Spark explode over repeated
+    decodes)."""
+    schema = ("id string, frame_idx int, frame_key string, "
+              "frame_bytes binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(payload) if payload is not None else b""
+                for i in range(n_frames):
+                    key = sampler(payload, i)
+                    rows.append({"id": str(rid), "frame_idx": i,
+                                 "frame_key": key,
+                                 "frame_bytes": key.encode()})
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame_key",
+                               "frame_bytes"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
 def extract_features(df: DataFrame, id_col: str, binary_col: str,
                      dim: int = 8) -> DataFrame:
     """-> (id, features): deterministic fake feature vector from payload

@@ -211,3 +211,36 @@ def test_multimodal_decode_plumbing(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"bytes")
+    with pytest.raises(NotImplementedError):
+        multimodal.real_resize(b"bytes", 64, 64)
+    with pytest.raises(NotImplementedError):
+        multimodal.real_frame(b"bytes", 0)
+
+
+def test_multimodal_resize_plumbing(spark):
+    rows = [("u1", b"\x89PNGfakebytes"), ("u2", b""), ("u3", b"x")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = {r["id"]: r for r in
+           multimodal.resize_media(df, "url", "payload",
+                                   width=64, height=48).collect()}
+    # byte budget = 64*48//64 = 48 for any nonempty payload (cycled)
+    assert out["u1"]["byte_len"] == 48 and len(out["u1"]["payload"]) == 48
+    assert out["u3"]["byte_len"] == 48
+    assert bytes(out["u3"]["payload"]) == b"x" * 48    # deterministic cycle
+    assert out["u2"]["byte_len"] == 0                  # empty stays empty
+    assert out["u1"]["width"] == 64 and out["u1"]["height"] == 48
+
+
+def test_multimodal_frame_sampling(spark):
+    import hashlib
+    rows = [("u1", b"videobytes"), ("u2", b"")]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    out = multimodal.sample_frames(df, "url", "payload",
+                                   n_frames=3).collect()
+    assert len(out) == 6                               # 3 frames per row
+    by_key = {(r["id"], r["frame_idx"]): r for r in out}
+    want = hashlib.md5(b"videobytes:1").hexdigest()
+    assert by_key[("u1", 1)]["frame_key"] == want
+    assert bytes(by_key[("u1", 1)]["frame_bytes"]) == want.encode()
+    # empty payload still yields deterministic frame keys
+    assert by_key[("u2", 0)]["frame_key"] == hashlib.md5(b":0").hexdigest()
