@@ -140,6 +140,59 @@ def streaming_exact_dedup(
     return q
 
 
+def windowed_doc_stats(
+    stream_df: DataFrame, ts_col: str, text_col: str,
+    window: str = "1 hour", watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window doc stats with late-data handling.
+
+    ``withWatermark`` bounds the aggregation state: a window's state is
+    finalized (append-mode emit) once the watermark -- max seen event time
+    minus the delay -- passes its end, and rows arriving later than the
+    watermark are DROPPED instead of reopening finalized windows.  That
+    bound is what makes the aggregation runnable forever at crawl scale:
+    state size is (windows inside the watermark horizon) x (grouping
+    cardinality), not all-of-history.  Aggregates are all JVM-side
+    built-ins (count/avg/length), no Python in the hot path.
+
+    Semantics note (asserted in tests): Spark's late-event filter lags
+    the eviction watermark by one micro-batch -- a row landing in the
+    same batch where its window is being finalized is still included;
+    one batch later it is dropped and the emitted window is never
+    duplicated."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count("*").alias("n_docs"),
+             F.avg(F.length(F.col(text_col))).alias("avg_len"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "n_docs", "avg_len")
+    )
+
+
+def run_windowed_stats(
+    stream_df: DataFrame, ts_col: str, text_col: str,
+    output_dir: str, checkpoint_dir: str,
+    window: str = "1 hour", watermark: str = "30 minutes",
+):
+    """Drive windowed_doc_stats to a parquet sink (append mode: each
+    window emitted exactly once, when the watermark finalizes it)."""
+    agg = windowed_doc_stats(stream_df, ts_col, text_col, window, watermark)
+    q = (agg.writeStream
+         .outputMode("append")
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
 def write_query_segments(df: DataFrame, out_dir: str,
                          n_segments: int = 3) -> str:
     """Split a batch table into n flat parquet 'segment drop' files under

@@ -114,6 +114,66 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert out.select("text").distinct().count() == 10
 
 
+def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics end to end: windows finalize in event-time
+    order as the watermark advances, and a row arriving after its
+    window's watermark passed is dropped, not re-aggregated."""
+    import time as _time
+
+    from name_matching_spark.streaming.incremental import (
+        run_windowed_stats)
+
+    seg_dir = str(tmp_path / "segments")
+    os.makedirs(seg_dir)
+
+    def seg(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, text string")
+        stage = str(tmp_path / ("st_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+        import shutil
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(seg_dir, name + ".parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))     # force file-source order
+
+    import datetime as dt
+
+    def t(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    base = _time.time()
+    # seg a: 10:xx (3 rows), 11:xx (2 rows)
+    seg("a", [(t(10, 0), "aaaa"), (t(10, 30), "bb"), (t(10, 59), "cccccc"),
+              (t(11, 10), "dd"), (t(11, 40), "e")], base - 300)
+    # seg b: 12:xx rows; the watermark from seg a (11:40-0:30 = 11:10)
+    # takes effect this batch and finalizes the 10:00 window
+    seg("b", [(t(12, 5), "ff"), (t(12, 50), "gggg")], base - 200)
+    # seg c: 14:30 pushes the watermark on, finalizing 11/12; the late
+    # 10:45 row is now behind even the (one-batch-lagged) late-event
+    # watermark AND its window was already emitted -> must be dropped,
+    # not re-emitted as a duplicate window row (append-mode contract)
+    seg("c", [(t(14, 30), "hh"), (t(10, 45), "LATE")], base - 100)
+
+    stream = stream_pages(spark, seg_dir,
+                          schema="ts timestamp, text string",
+                          max_files_per_trigger=1)
+    run_windowed_stats(stream, "ts", "text",
+                       output_dir=str(tmp_path / "out"),
+                       checkpoint_dir=str(tmp_path / "ck"))
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    out = {r["window_start"].hour: r for r in rows}
+    # each window emitted exactly once (late row did not re-open one)
+    assert len(rows) == len(out)
+    # finalized windows: 10 (3 rows -- late row dropped), 11, 12;
+    # 14's window is still open when the stream drains -> not emitted
+    assert set(out) == {10, 11, 12}
+    assert out[10]["n_docs"] == 3
+    assert out[10]["avg_len"] == pytest.approx((4 + 2 + 6) / 3)
+    assert out[11]["n_docs"] == 2
+    assert out[12]["n_docs"] == 2
+
+
 def test_incremental_match_rejects_corpus_global_config(spark, tmp_path):
     m, q = _corpus(spark)
     with pytest.raises(ValueError, match="micro-batch"):
