@@ -36,7 +36,9 @@ changing semantics.
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline import MatchConfig, match_names
@@ -186,6 +188,71 @@ def run_windowed_stats(
          .outputMode("append")
          .format("parquet")
          .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def dedup_registry_stream(
+    stream_df: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """-> stream of (content_key, canonical_id, n_seen): custom stateful
+    dedup registry via ``applyInPandasWithState``.
+
+    Where ``streaming_exact_dedup`` only lets the first copy through, a
+    crawl pipeline usually also wants the duplication COUNT per canonical
+    document (dedup weighting for training-data sampling).  State per
+    content key = (first-seen id, running count); every micro-batch that
+    touches a key emits its updated row, so the sink upserts converge to
+    the final registry.  State is keyed by content hash -- hash-partitioned
+    across state-store partitions, no global structure, scales like any
+    keyed state.  The per-group kernel is pandas over Arrow batches, not
+    row-at-a-time Python."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream_df.select(
+        F.sha2(F.col(text_col), 256).alias("content_key"),
+        F.col(id_col).cast("string").alias("doc_id"))
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            canonical, n_seen = state.get
+        else:
+            canonical, n_seen = None, 0
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                if canonical is None:
+                    canonical = str(doc_id)
+                n_seen += 1
+        state.update((canonical, n_seen))
+        yield pd.DataFrame({"content_key": [key[0]],
+                            "canonical_id": [canonical],
+                            "n_seen": [n_seen]})
+
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        update,
+        outputStructType="content_key string, canonical_id string, "
+                         "n_seen bigint",
+        stateStructType="canonical_id string, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_registry(
+    stream_df: DataFrame, id_col: str, text_col: str,
+    output_dir: str, checkpoint_dir: str,
+):
+    """Drive dedup_registry_stream to a parquet sink (update rows appended;
+    the latest row per content_key is the registry state)."""
+    reg = dedup_registry_stream(stream_df, id_col, text_col)
+    q = (reg.writeStream
+         .outputMode("update")
+         .foreachBatch(lambda df, _bid:
+                       df.write.mode("append").parquet(output_dir))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

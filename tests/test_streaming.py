@@ -174,6 +174,52 @@ def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     assert out[12]["n_docs"] == 2
 
 
+def test_dedup_registry_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState registry: canonical id is the first-seen
+    copy and n_seen accumulates ACROSS micro-batches (keyed state), with
+    the latest emitted row per key converging to the true totals."""
+    from name_matching_spark.streaming.incremental import (
+        run_dedup_registry)
+
+    # 30 docs over 10 distinct texts (3 copies each), 3 segments; lowest
+    # doc_id per text is in the earliest segment
+    docs = [(i, f"text body {i % 10}") for i in range(30)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    seg_dir = str(tmp_path / "segments")
+    # segment by doc_id range so arrival order is deterministic
+    import glob
+    import shutil
+    os.makedirs(seg_dir)
+    for s in range(3):
+        stage = str(tmp_path / f"st{s}")
+        (d.filter((F.col("doc_id") >= 10 * s)
+                  & (F.col("doc_id") < 10 * (s + 1)))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(seg_dir, f"seg_{s}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1000000000 + s, 1000000000 + s))
+    stream = stream_pages(spark, seg_dir,
+                          schema="doc_id long, text string",
+                          max_files_per_trigger=1)
+    run_dedup_registry(stream, "doc_id", "text",
+                       output_dir=str(tmp_path / "reg"),
+                       checkpoint_dir=str(tmp_path / "ck"))
+    out = spark.read.parquet(str(tmp_path / "reg"))
+    # latest emission per key = the converged registry
+    final = {r["content_key"]: r for r in
+             out.withColumn("__rn", F.row_number().over(
+                 __import__("pyspark.sql.window", fromlist=["Window"])
+                 .Window.partitionBy("content_key")
+                 .orderBy(F.col("n_seen").desc())))
+             .filter(F.col("__rn") == 1).collect()}
+    assert len(final) == 10
+    assert all(r["n_seen"] == 3 for r in final.values())
+    # canonical = first-seen = the doc from the earliest segment
+    assert sorted(int(r["canonical_id"]) for r in final.values()) == list(
+        range(10))
+
+
 def test_incremental_match_rejects_corpus_global_config(spark, tmp_path):
     m, q = _corpus(spark)
     with pytest.raises(ValueError, match="micro-batch"):
