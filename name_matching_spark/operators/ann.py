@@ -219,6 +219,7 @@ def embedding_near_dups_lsh(
     vec_col: str = "embedding", min_cosine: float = 0.9,
     dim: int = 64, num_planes: int = 4, num_tables: int = 8,
     round_decimals: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, cosine): embedding near-duplicates, the scale path.
 
@@ -234,6 +235,14 @@ def embedding_near_dups_lsh(
 
     Fully deterministic (md5 hyperplanes, 9-dp sign-test rounding), hence
     value-oracle-able via generated SQL with literal plane components.
+
+    ``max_bucket`` is the hot-bucket skew guard for degenerate corpora
+    (e.g. millions of near-identical boilerplate pages landing in one
+    sign bucket, whose self-join is quadratic in the bucket): buckets
+    above the cap are dropped from candidate generation -- a recall/cost
+    knob, off by default so results stay exactly the uncapped semantics.
+    A pair sharing any OTHER table's (un-hot) bucket still surfaces,
+    which is exactly the multi-table redundancy's job.
     """
     v = vectors.select(F.col(id_col).alias("id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
@@ -241,6 +250,13 @@ def embedding_near_dups_lsh(
         "id", "v",
         F.explode(F.array(*[_sig_col(F.col("v"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
+    if max_bucket is not None:
+        # the HOT set is tiny by construction (few skewed buckets), so it
+        # broadcasts; never broadcast the surviving-bucket list, which is
+        # ~n at scale
+        hot = (v_b.groupBy("bucket").count()
+               .filter(F.col("count") > max_bucket).select("bucket"))
+        v_b = v_b.join(F.broadcast(hot), "bucket", "left_anti")
     a = v_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                    "bucket")
     b = v_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),

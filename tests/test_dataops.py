@@ -182,6 +182,37 @@ def test_embedding_near_dups_lsh_vs_quadratic(spark):
     assert len(lsh_pairs) / max(len(quad_pairs), 1) >= 0.9
 
 
+def test_embedding_near_dups_lsh_plan_and_hot_bucket_cap(spark):
+    """Scale properties locked in the plan: the candidate join is a
+    bucket equi-join (no cartesian/broadcast-nested-loop anywhere, unlike
+    the quadratic baseline), and max_bucket drops only hot buckets while
+    multi-table redundancy keeps true pairs reachable via other tables."""
+    import random
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    # 40 near-identical vectors (one hot bucket in most tables) + twins
+    vecs = [(i, [x + rng.uniform(-1e-3, 1e-3) for x in base])
+            for i in range(40)]
+    others = [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+              for i in range(20)]
+    twins = [(200 + i, v) for i, (_, v) in enumerate(others[:5])]
+    df = spark.createDataFrame(vecs + others + twins,
+                               "vec_id long, embedding array<double>")
+    lsh = ann.embedding_near_dups_lsh(df, min_cosine=0.95, dim=16,
+                                      num_planes=3, num_tables=6)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # capped: the 40-vector hot cluster's buckets are dropped, the
+    # exact-copy twins (distinct buckets, size ~2) all survive
+    capped = ann.embedding_near_dups_lsh(df, min_cosine=0.95, dim=16,
+                                         num_planes=3, num_tables=6,
+                                         max_bucket=25)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all((100 + i, 200 + i) in pairs for i in range(5))
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+
 def test_ivf_kmeans_centroids(spark):
     import random
     rng = random.Random(8)
