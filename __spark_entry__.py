@@ -399,8 +399,9 @@ def _q_streaming_linkage(spark, sf_dir):
         config=MatchConfig(threshold=50.0, top_n=10, prefix_size=6))
     res = spark.read.parquet(out_dir).select(
         "a_id", "b_id", F.round("score", 6).alias("score"), "source")
-    res = res.persist()
-    res.count()                      # materialize before tmp cleanup
+    # localCheckpoint (not persist): truncates lineage so the result
+    # survives the tmp-dir cleanup even if the cache is evicted later
+    res = res.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return res
 
