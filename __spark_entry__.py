@@ -406,6 +406,18 @@ def _q_streaming_linkage(spark, sf_dir):
     return res
 
 
+def _q_annotation_queue(spark, sf_dir):
+    """O30 (batch-first): ambiguous-match labeling queue over the
+    per-metric match run -- band preselect on each query's best score
+    (70 < max < 100) + deterministic md5-bucket sampling of half the
+    queries.  Value-oracled: same SQL over the same expected table."""
+    from name_matching_spark.operators.annotate import annotation_queue
+
+    m = _q_match_parts_permetric(spark, sf_dir)
+    return annotation_queue(m, lower_bound=70.0, data_percentage=0.5,
+                            seed=7)
+
+
 def _q_simhash(spark, sf_dir):
     from name_matching_spark.operators.dedup import simhash
 
@@ -558,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_parts_e2e": _q_match_parts_e2e,
         "streaming_linkage_e2e": _q_streaming_linkage,
         "match_parts_permetric_e2e": _q_match_parts_permetric,
+        "annotation_queue": _q_annotation_queue,
         "match_parts_split_e2e": _q_match_parts_split,
         "simhash_docs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1259,6 +1272,21 @@ def oracle_sql() -> dict[str, str]:
         "match_parts_split_e2e": """
             SELECT a_id, b_id, score, source FROM read_parquet(
                 '/root/repo/expected/match_parts_split_sf001.parquet')
+        """,
+        "annotation_queue": """
+            WITH m AS (
+                SELECT a_id, b_id, position, score, source
+                FROM read_parquet(
+                    '/root/repo/expected/match_parts_permetric_sf001.parquet')
+            ),
+            b AS (
+                SELECT *, max(score) OVER (PARTITION BY a_id) AS max_scr
+                FROM m
+            )
+            SELECT a_id, b_id, position, score, source FROM b
+            WHERE max_scr > 70.0 AND max_scr < 100.0
+              AND ('0x' || substr(md5(CAST(a_id AS VARCHAR) || ':7'),
+                                  1, 8))::BIGINT % 100 < 50
         """,
         "cluster_pages_e2e": """
             SELECT id, component
