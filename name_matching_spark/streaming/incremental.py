@@ -110,6 +110,52 @@ def incremental_match(
     return q
 
 
+def incremental_match_pages(
+    stream_df: DataFrame,
+    master_pages: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    config: MatchConfig = MatchConfig(),
+    available_now: bool = True,
+):
+    """Pages-level twin of ``incremental_match``: micro-batches of raw
+    web pages (input_hint schema) are name-extracted and matched against
+    a static master pages table (extracted once up front).  This is the
+    spark-submit streaming surface (`run_linkage.py --stream-pages-a`).
+
+    The master side's name extraction runs once; its normalization still
+    runs inside each micro-batch's match_names plan -- at real scale,
+    snapshot the prepared master side with StageCheckpoint and feed the
+    checkpointed table here instead of re-deriving it."""
+    from ..pipeline import extract_pages_names, match_names
+
+    if config.preprocess_split or config.common_words:
+        raise ValueError(
+            "preprocess_split/common_words derive state from the whole "
+            "query corpus and are not micro-batch invariant; run those "
+            "via the batch pipeline")
+    spark = master_pages.sparkSession
+    masters = extract_pages_names(master_pages).persist()
+    masters.count()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        a = extract_pages_names(batch_df)
+        out = match_names(spark, a, masters, "url", "name", "url", "name",
+                          config=config)
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        masters.unpersist()
+    else:
+        q = writer.start()
+    return q
+
+
 def streaming_exact_dedup(
     stream_df: DataFrame, id_col: str, text_col: str,
     output_dir: str, checkpoint_dir: str,

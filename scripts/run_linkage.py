@@ -23,6 +23,19 @@ Inputs are parquet tables with the BASELINE input_hint schema
 --checkpoint-dir resumes from the last complete stage.  With --demo N the
 inputs are replaced by the deterministic synthetic pages corpus (N
 entities), useful for smoke tests without data.
+
+STREAMING mode (continuous ingest): point --stream-pages-a at the
+directory where crawl segments land and pass --stream-checkpoint;
+each new parquet file is matched as a micro-batch against the static
+--pages-b masters and appended to --output.  Relaunching with the same
+--stream-checkpoint processes only segments that arrived since the last
+run (exactly-once, no duplicate pairs):
+
+    spark-submit --driver-memory 16g --py-files /tmp/nm_spark.zip \
+        scripts/run_linkage.py \
+        --stream-pages-a s3://bucket/segments --pages-b s3://bucket/masters \
+        --output s3://bucket/matches \
+        --stream-checkpoint s3://bucket/stream_ck --threshold 95
 """
 
 from __future__ import annotations
@@ -62,6 +75,17 @@ def main(argv=None):
                         "words stripped")
     p.add_argument("--demo", type=int, default=0,
                    help="run on N synthetic entities instead of real input")
+    p.add_argument("--stream-pages-a", default=None,
+                   help="STREAMING mode: directory where query-page "
+                        "parquet segments land; each new file becomes a "
+                        "micro-batch matched against the static --pages-b "
+                        "masters (foreachBatch, exactly-once via "
+                        "--stream-checkpoint).  Drains available files "
+                        "then exits; relaunch resumes from the streaming "
+                        "checkpoint and processes only new segments")
+    p.add_argument("--stream-checkpoint", default=None,
+                   help="streaming checkpoint location (required with "
+                        "--stream-pages-a)")
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -87,6 +111,12 @@ def main(argv=None):
         pages = spark_pages_df(spark, entities=args.demo, variants=2)
         pages_a = pages.filter(F.col("variant_id") == 1)
         pages_b = pages.filter(F.col("variant_id") == 0)
+    elif args.stream_pages_a:
+        if not args.pages_b:
+            p.error("--pages-b (static masters) required with "
+                    "--stream-pages-a")
+        pages_a = None
+        pages_b = spark.read.parquet(args.pages_b)
     else:
         if not (args.pages_a and args.pages_b):
             p.error("--pages-a/--pages-b required unless --demo")
@@ -107,9 +137,22 @@ def main(argv=None):
                       number_of_matches=args.number_of_matches,
                       legal_suffixes=args.legal_suffixes,
                       common_words=args.common_words)
-    out = match_pages(spark, pages_a, pages_b, config=cfg,
-                      checkpoint=ck, cluster=args.cluster)
-    out.write.mode("overwrite").parquet(args.output)
+    if args.stream_pages_a:
+        if not args.stream_checkpoint:
+            p.error("--stream-checkpoint required with --stream-pages-a")
+        if args.cluster:
+            p.error("--cluster needs the full edge set; run the batch "
+                    "clusterer over the streamed match output instead")
+        from name_matching_spark.streaming.incremental import (
+            incremental_match_pages, stream_pages)
+        stream = stream_pages(spark, args.stream_pages_a)
+        incremental_match_pages(
+            stream, pages_b, output_dir=args.output,
+            checkpoint_dir=args.stream_checkpoint, config=cfg)
+    else:
+        out = match_pages(spark, pages_a, pages_b, config=cfg,
+                          checkpoint=ck, cluster=args.cluster)
+        out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} rows to {args.output}")
     if ck:

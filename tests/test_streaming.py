@@ -114,6 +114,33 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert out.select("text").distinct().count() == 10
 
 
+def test_incremental_match_pages_equals_batch(spark, tmp_path):
+    """Pages-level streaming surface: raw page micro-batches extract +
+    match against static masters; equals the one-shot match_pages run."""
+    from name_matching_spark.pipeline import match_pages
+    from name_matching_spark.sources.pages import spark_pages_df
+    from name_matching_spark.streaming.incremental import (
+        incremental_match_pages)
+
+    pages = spark_pages_df(spark, entities=30, variants=2)
+    masters = pages.filter(F.col("variant_id") == 0).drop(
+        "entity_id", "variant_id")
+    queries = pages.filter(F.col("variant_id") == 1).drop(
+        "entity_id", "variant_id")
+    seg_dir = str(tmp_path / "segments")
+    write_query_segments(queries, seg_dir, n_segments=2)
+    stream = stream_pages(spark, seg_dir)
+    incremental_match_pages(
+        stream, masters, output_dir=str(tmp_path / "m"),
+        checkpoint_dir=str(tmp_path / "ck"), config=CFG)
+    streamed = spark.read.parquet(str(tmp_path / "m")).select(
+        "a_id", "b_id", "score", "source")
+    batch = match_pages(spark, queries, masters, config=CFG).select(
+        "a_id", "b_id", "score", "source")
+    assert _rows(streamed) == _rows(batch)
+    assert streamed.count() >= 25
+
+
 def test_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     """Watermark semantics end to end: windows finalize in event-time
     order as the watermark advances, and a row arriving after its
