@@ -88,14 +88,19 @@ def incremental_match(
             "query corpus and are not micro-batch invariant; run those "
             "via the batch pipeline")
     spark = masters.sparkSession
-    # prepare the static side once; every micro-batch plan reuses it
-    masters = masters.persist()
+    # normalize the static side ONCE (match_names' idempotent _prepare
+    # contract accepts the pre-prepared columns); every micro-batch then
+    # reuses the persisted normalized table instead of re-running the
+    # normalization UDF over the masters per batch
+    from ..pipeline import _prepare
+    masters = _prepare(masters, master_id_col, master_name_col, None,
+                       config).persist()
     masters.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         out = match_names(
             spark, batch_df, masters, id_col, name_col,
-            master_id_col, master_name_col, config=config)
+            "id", "name_raw", config=config)
         out.write.mode("append").parquet(output_dir)
 
     writer = (stream_df.writeStream
@@ -123,11 +128,10 @@ def incremental_match_pages(
     a static master pages table (extracted once up front).  This is the
     spark-submit streaming surface (`run_linkage.py --stream-pages-a`).
 
-    The master side's name extraction runs once; its normalization still
-    runs inside each micro-batch's match_names plan -- at real scale,
-    snapshot the prepared master side with StageCheckpoint and feed the
-    checkpointed table here instead of re-deriving it."""
-    from ..pipeline import extract_pages_names, match_names
+    The master side is extracted AND normalized once up front (the
+    idempotent _prepare contract); each micro-batch only prepares its
+    own rows."""
+    from ..pipeline import _prepare, extract_pages_names, match_names
 
     if config.preprocess_split or config.common_words:
         raise ValueError(
@@ -135,13 +139,14 @@ def incremental_match_pages(
             "query corpus and are not micro-batch invariant; run those "
             "via the batch pipeline")
     spark = master_pages.sparkSession
-    masters = extract_pages_names(master_pages).persist()
+    masters = _prepare(extract_pages_names(master_pages), "url", "name",
+                       None, config).persist()
     masters.count()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         a = extract_pages_names(batch_df)
-        out = match_names(spark, a, masters, "url", "name", "url", "name",
-                          config=config)
+        out = match_names(spark, a, masters, "url", "name",
+                          "id", "name_raw", config=config)
         out.write.mode("append").parquet(output_dir)
 
     writer = (stream_df.writeStream

@@ -247,6 +247,21 @@ def test_dedup_registry_state_across_batches(spark, tmp_path):
         range(10))
 
 
+def test_match_names_accepts_preprepared_side(spark):
+    """_prepare's idempotent contract: a pre-normalized master side gives
+    byte-identical matches to the raw one (what lets the streaming loop
+    normalize the static side once instead of per micro-batch)."""
+    from name_matching_spark.pipeline import _prepare
+
+    m, q = _corpus(spark)
+    raw = match_names(spark, q, m, "id", "name", "id", "name",
+                      config=CFG).select("a_id", "b_id", "score", "source")
+    prepped = _prepare(m, "id", "name", None, CFG)
+    pre = match_names(spark, q, prepped, "id", "name", "id", "name_raw",
+                      config=CFG).select("a_id", "b_id", "score", "source")
+    assert _rows(raw) == _rows(pre)
+
+
 def test_incremental_match_rejects_corpus_global_config(spark, tmp_path):
     m, q = _corpus(spark)
     with pytest.raises(ValueError, match="micro-batch"):
