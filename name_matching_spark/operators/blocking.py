@@ -56,17 +56,21 @@ def cosine_top_n(
     idf: DataFrame | None = None,
     df_cap_frac: float | None = None,
     round_decimals: int | None = None,
+    master_capped: bool = False,
 ) -> DataFrame:
     """-> (group, qid, mid, cosine, rank) with rank <= top_n per qid.
 
     query_w/master_w: (group, id, ngram, weight) long-form matrices.
     ``round_decimals`` rounds the cosine before ranking so the ordering is
     independent of floating-point summation order (cross-engine / re-run
-    determinism); ties always break on mid ascending.
+    determinism); ties always break on mid ascending.  ``master_capped``
+    marks a master side whose hot n-grams were already capped upstream
+    (the prebuilt fitted-master path) so the cap semi-join is not re-run.
     """
     if df_cap_frac is not None and idf is not None:
         query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
-        master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
+        if not master_capped:
+            master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
 
     q = query_w.select(
         GROUP_COL, F.col("id").alias("qid"), "ngram",
@@ -90,6 +94,41 @@ def cosine_top_n(
     )
 
 
+def rare_prefix_postings(w: DataFrame, idf: DataFrame, prefix_size: int,
+                         posting_cap: int | None = 2000) -> DataFrame:
+    """-> (group, id, ngram): each document's ``prefix_size`` rarest
+    n-grams (by global df, ties on ngram), posting lists truncated to
+    ``posting_cap`` ids.  Module-level so a long-lived caller (streaming;
+    repeated query sets against one master) can build the master postings
+    ONCE and reuse them across runs instead of re-deriving per call."""
+    dfreq = idf.select(GROUP_COL, "ngram", "df")
+    ranked = w.join(F.broadcast(dfreq), [GROUP_COL, "ngram"])
+    win = Window.partitionBy(GROUP_COL, "id").orderBy(
+        F.col("df").asc(), F.col("ngram").asc())
+    out = (ranked.withColumn("__r", F.row_number().over(win))
+           .filter(F.col("__r") <= prefix_size)
+           .select(GROUP_COL, "id", "ngram"))
+    if posting_cap is not None:
+        pwin = Window.partitionBy(GROUP_COL, "ngram").orderBy(
+            F.col("id").asc())
+        out = (out.withColumn("__p", F.row_number().over(pwin))
+               .filter(F.col("__p") <= posting_cap)
+               .drop("__p"))
+    return out
+
+
+def weights_as_map(w: DataFrame, id_alias: str, map_alias: str) -> DataFrame:
+    """-> (group, <id_alias>, <map_alias>): a side's long-form weight
+    vectors as one map column each, for the JVM map_zip_with dot product
+    in the verify join.  Module-level for the same reuse reason as
+    ``rare_prefix_postings``."""
+    return (w.groupBy(GROUP_COL, "id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("ngram", "weight")))
+                .alias(map_alias))
+            .withColumnRenamed("id", id_alias))
+
+
 def prefix_filtered_top_n(
     query_w: DataFrame,
     master_w: DataFrame,
@@ -99,6 +138,8 @@ def prefix_filtered_top_n(
     df_cap_frac: float | None = 0.2,
     posting_cap: int | None = 2000,
     round_decimals: int | None = None,
+    master_pref: DataFrame | None = None,
+    master_map: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for the cosine top-N blocker: prefix-filtered candidate
     generation (AllPairs/PPJoin-style) + exact cosine verification.
@@ -126,47 +167,33 @@ def prefix_filtered_top_n(
     grams (postings far below the cap), so twin recall is unaffected;
     names made entirely of corpus-common tokens lose candidates first --
     the same names every blocker struggles with.
+
+    ``master_pref``/``master_map`` accept the prebuilt (already df-capped)
+    master-side tables from ``rare_prefix_postings``/``weights_as_map``;
+    when given, the master side of this call is pure reuse -- no master
+    aggregation or window re-runs (the streaming per-micro-batch path).
     """
-    dfreq = idf.select(GROUP_COL, "ngram", "df")
-
-    def rare_prefix(w: DataFrame) -> DataFrame:
-        ranked = w.join(F.broadcast(dfreq), [GROUP_COL, "ngram"])
-        win = Window.partitionBy(GROUP_COL, "id").orderBy(
-            F.col("df").asc(), F.col("ngram").asc())
-        out = (ranked.withColumn("__r", F.row_number().over(win))
-               .filter(F.col("__r") <= prefix_size)
-               .select(GROUP_COL, "id", "ngram"))
-        if posting_cap is not None:
-            pwin = Window.partitionBy(GROUP_COL, "ngram").orderBy(
-                F.col("id").asc())
-            out = (out.withColumn("__p", F.row_number().over(pwin))
-                   .filter(F.col("__p") <= posting_cap)
-                   .drop("__p"))
-        return out
-
     if df_cap_frac is not None:
         query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
-        master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
+        if master_pref is None:
+            master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
 
-    q_pref = rare_prefix(query_w).select(
+    q_pref = rare_prefix_postings(query_w, idf, prefix_size,
+                                  posting_cap).select(
         GROUP_COL, F.col("id").alias("qid"), "ngram")
-    m_pref = rare_prefix(master_w).select(
-        GROUP_COL, F.col("id").alias("mid"), "ngram")
+    if master_pref is None:
+        master_pref = rare_prefix_postings(master_w, idf, prefix_size,
+                                           posting_cap)
+    m_pref = master_pref.select(GROUP_COL, F.col("id").alias("mid"), "ngram")
     cand = (q_pref.join(m_pref, [GROUP_COL, "ngram"])
             .select(GROUP_COL, "qid", "mid").distinct())
 
     # exact cosine for candidates WITHOUT re-exploding grams: each side's
     # weight vector becomes one map column; the dot product is a JVM-side
     # map_zip_with fold, so verification is |candidates| rows end-to-end
-    def as_map(w: DataFrame, id_alias: str, map_alias: str) -> DataFrame:
-        return (w.groupBy(GROUP_COL, "id")
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("ngram", "weight")))
-                    .alias(map_alias))
-                .withColumnRenamed("id", id_alias))
-
-    q_map = as_map(query_w, "qid", "qm")
-    m_map = as_map(master_w, "mid", "mm")
+    q_map = weights_as_map(query_w, "qid", "qm")
+    m_map = (master_map if master_map is not None
+             else weights_as_map(master_w, "mid", "mm"))
     dot = F.expr(
         "aggregate(map_values(map_zip_with(qm, mm, "
         "(k, v1, v2) -> coalesce(v1, 0d) * coalesce(v2, 0d))), "

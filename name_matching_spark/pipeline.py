@@ -141,20 +141,39 @@ def _prepare_udf(cfg: PreprocessConfig, case_sensitive: bool = False,
 
 
 PREPARED_COLS = ("id", GROUP_COL, "name_raw", "name_light", "name_norm")
+_PREP_FP_KEY = "nm_prep_fp"
+
+
+def _prep_fingerprint(config: "MatchConfig") -> str:
+    """Fingerprint of every config field that shapes _prepare's output."""
+    from .checkpoint import fingerprint_of
+    return fingerprint_of((
+        "prep", config.preprocess, config.case_sensitive,
+        config.punctuation_sensitive, config.special_character_sensitive))
 
 
 def _prepare(df: DataFrame, id_col: str, name_col: str,
              group_col: str | None, config: "MatchConfig") -> DataFrame:
     """-> (id, __group, name_raw, name_light, name_norm); one UDF pass.
 
-    Idempotent contract: a df that already carries every PREPARED_COLS
-    column is accepted as-is.  That lets a long-lived caller (the
-    streaming incremental matcher; any job matching many query sets
-    against one master) normalize the static side ONCE -- or load it from
-    a StageCheckpoint -- instead of re-running the pandas-UDF pass per
-    micro-batch/run over a side that never changes."""
+    Idempotent contract: a df that _prepare itself already normalized
+    under the SAME preprocess config is accepted as-is.  That lets a
+    long-lived caller (the streaming incremental matcher; any job matching
+    many query sets against one master) normalize the static side ONCE --
+    or load it from a StageCheckpoint (schema metadata survives the
+    parquet round-trip) -- instead of re-running the pandas-UDF pass per
+    micro-batch/run over a side that never changes.
+
+    The fast path is gated on a config-fingerprint marker in the
+    ``name_norm`` column metadata, NOT on column-name coincidence: a table
+    prepared under a different PreprocessConfig (or a user table that
+    happens to carry the five column names) falls through and is
+    re-normalized from ``id_col``/``name_col`` as requested."""
+    fp = _prep_fingerprint(config)
     if set(PREPARED_COLS) <= set(df.columns):
-        return df.select(*PREPARED_COLS)
+        meta = df.schema["name_norm"].metadata
+        if meta.get(_PREP_FP_KEY) == fp:
+            return df.select(*PREPARED_COLS)
     out = with_group(
         df.select(F.col(id_col).alias("id"),
                   F.col(name_col).alias("name_raw"),
@@ -169,27 +188,148 @@ def _prepare(df: DataFrame, id_col: str, name_col: str,
     out = out.withColumn("__prep", prep(F.col("name_raw")))
     return out.select("id", GROUP_COL, "name_raw",
                       F.col("__prep.name_light").alias("name_light"),
-                      F.col("__prep.name_norm").alias("name_norm"))
+                      F.col("__prep.name_norm").alias(
+                          "name_norm", metadata={_PREP_FP_KEY: fp}))
+
+
+def _fit_fingerprint(config: "MatchConfig") -> str:
+    """Fingerprint of every config field that shapes the fitted master-side
+    artifacts (normalization, n-gram vocabulary, df cap, plan choice)."""
+    from .checkpoint import fingerprint_of
+    return fingerprint_of((
+        "fit", _prep_fingerprint(config), config.ngram_range,
+        config.df_cap_frac, config.prefix_size,
+        config.auto_prefix_threshold, config.auto_prefix_size))
+
+
+def _resolve_prefix_size(config: "MatchConfig",
+                         doc_counts: DataFrame) -> int | None:
+    """Auto plan choice: the exact inverted-index join's output is
+    Sum_g df_q(g)*df_m(g) -- fine for small blocks, quadratic in hot
+    n-grams beyond ~10^4 docs per block.  Above the threshold, switch
+    to the near-linear prefix-filtered blocker.  The probe is one agg
+    over the (tiny, per-group) doc-count table.
+
+    The probe is PER-RUN, not per-group: max(n_docs) over groups picks
+    one global plan.  A corpus with one huge block among thousands of
+    tiny ones routes everything through the prefix path -- safe, since
+    the prefix blocker is correct (and near-decision-identical) on
+    every block size, just unnecessary overhead for the tiny ones; the
+    reverse mistake (a huge block on the exact path) cannot happen
+    because max is the deciding statistic.  Grouped-skew behavior is
+    locked in tests/test_group_matching.py."""
+    if config.prefix_size is not None:
+        return config.prefix_size
+    max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0
+    if max_block > config.auto_prefix_threshold:
+        return config.auto_prefix_size
+    return None
+
+
+@dataclass
+class FittedMaster:
+    """Master-side fitted artifacts, built once by ``fit_master`` and
+    reused across many ``match_names`` calls (the streaming foreachBatch
+    loop; any job matching many query sets against one master).
+
+    Reusing these is what keeps a 100 TB master table out of the
+    per-micro-batch plan: without it every batch re-runs the master-side
+    normalization UDF, n-gram explode+agg, idf aggregation, weight window
+    and (on the prefix path) the postings/map aggregations -- a full
+    master scan+shuffle per batch for tables that never change.
+    """
+
+    masters: DataFrame            # _prepare output (PREPARED_COLS)
+    doc_counts: DataFrame         # (group, n_docs)
+    idf: DataFrame                # (group, ngram, idf, df, n_docs)
+    m_w: DataFrame                # master weights, df-capped when cfg caps
+    prefix_size: int | None       # resolved plan choice (fixed at fit time)
+    m_pref: DataFrame | None      # prefix postings (prefix path only)
+    m_map: DataFrame | None       # weight-vector maps (prefix path only)
+    fit_fp: str                   # _fit_fingerprint of the fitting config
+    _persisted: tuple = ()
+
+    def unpersist(self) -> None:
+        for d in self._persisted:
+            d.unpersist()
+
+
+def fit_master(
+    df_b: DataFrame,
+    id_col_b: str,
+    name_col_b: str,
+    group_col_b: str | None = None,
+    config: MatchConfig = MatchConfig(),
+    persist: bool = True,
+) -> FittedMaster:
+    """Build (and by default persist + materialize) every master-side
+    artifact ``match_names`` needs, so subsequent calls with
+    ``fitted=`` run ZERO master-side jobs -- the batch twin of fitting a
+    model once and serving it.  Materialization is eager (one count per
+    table) so the first micro-batch doesn't pay the fit either."""
+    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config)
+    persisted: list[DataFrame] = []
+
+    def _p(d: DataFrame) -> DataFrame:
+        # persist AND materialize immediately: each later artifact then
+        # derives from the cached parent, so the source table is scanned
+        # exactly once per fit however many artifacts stack on top
+        if persist:
+            d = d.persist()
+            d.count()
+            persisted.append(d)
+        return d
+
+    b = _p(b)
+    m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
+    doc_counts = _p(doc_count_table(b, "id"))
+    idf = _p(idf_table(m_tf, doc_counts))
+    m_w = master_weights(m_tf, idf)
+    if config.df_cap_frac is not None:
+        from .operators.blocking import cap_hot_ngrams
+        m_w = cap_hot_ngrams(m_w, idf, config.df_cap_frac)
+    m_w = _p(m_w)
+    prefix_size = _resolve_prefix_size(config, doc_counts)
+    m_pref = m_map = None
+    if prefix_size is not None:
+        from .operators.blocking import rare_prefix_postings, weights_as_map
+        m_pref = _p(rare_prefix_postings(m_w, idf, prefix_size))
+        m_map = _p(weights_as_map(m_w, "mid", "mm"))
+    return FittedMaster(masters=b, doc_counts=doc_counts, idf=idf, m_w=m_w,
+                        prefix_size=prefix_size, m_pref=m_pref, m_map=m_map,
+                        fit_fp=_fit_fingerprint(config),
+                        _persisted=tuple(persisted))
 
 
 def match_names(
     spark: SparkSession,
     df_a: DataFrame,
-    df_b: DataFrame,
+    df_b: DataFrame | None,
     id_col_a: str,
     name_col_a: str,
-    id_col_b: str,
-    name_col_b: str,
+    id_col_b: str = "id",
+    name_col_b: str = "name_raw",
     group_col_a: str | None = None,
     group_col_b: str | None = None,
     config: MatchConfig = MatchConfig(),
     checkpoint: StageCheckpoint | None = None,
+    fitted: FittedMaster | None = None,
 ) -> DataFrame:
     """Match every row of df_a against df_b.
 
     Returns (a_id, b_id, original_name, match_name, score, source) for rows
     with score > threshold; ``source`` is 'exact' or 'fuzzy'.
+
+    ``fitted``: a ``fit_master`` bundle replaces the whole master side
+    (df_b/id_col_b/name_col_b/group_col_b are then ignored and may be
+    None); raises if it was fitted under a config whose master-shaping
+    fields differ from ``config``.
     """
+    if fitted is not None and fitted.fit_fp != _fit_fingerprint(config):
+        raise ValueError(
+            "FittedMaster was built under a different config (preprocess/"
+            "ngram_range/df_cap_frac/prefix plan differ); refit with "
+            "fit_master(config=...) matching this call's config")
     if checkpoint:
         # fold the resolved config into stage identity: resuming the same
         # root with a different MatchConfig must recompute, not serve
@@ -199,12 +339,18 @@ def match_names(
     cache = ((lambda d: d.persist()) if config.cache_intermediates
              else (lambda d: d))
     a = _prepare(df_a, id_col_a, name_col_a, group_col_a, config)
-    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config)
     if checkpoint:
         a = checkpoint.get_or_compute("normalized_a", lambda: a)
-        b = checkpoint.get_or_compute("normalized_b", lambda: b)
     else:
-        a, b = cache(a), cache(b)
+        a = cache(a)
+    if fitted is not None:
+        b = fitted.masters
+    else:
+        b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config)
+        if checkpoint:
+            b = checkpoint.get_or_compute("normalized_b", lambda: b)
+        else:
+            b = cache(b)
 
     # --- exact-match short-circuit (run_nm.py:106-144) -------------------
     # empty names are excluded from the equi-join: extract_name falls back
@@ -229,38 +375,20 @@ def match_names(
 
     # --- fuzzy path on the remainder -------------------------------------
     remainder = remainder.filter(F.col("name_norm") != "")
-    m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
+    if fitted is not None:
+        doc_counts, idf, m_w = fitted.doc_counts, fitted.idf, fitted.m_w
+    else:
+        m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
+        doc_counts = doc_count_table(b, "id")
+        idf = cache(idf_table(m_tf, doc_counts))
+        m_w = master_weights(m_tf, idf)
     q_tf = explode_char_ngrams(remainder, "id", "name_norm",
                                config.ngram_range)
-    doc_counts = doc_count_table(b, "id")
-    idf = cache(idf_table(m_tf, doc_counts))
-    m_w = master_weights(m_tf, idf)
     q_w = query_weights(q_tf, idf)
 
-    def _resolve_prefix_size() -> int | None:
-        """Auto plan choice: the exact inverted-index join's output is
-        Sum_g df_q(g)*df_m(g) -- fine for small blocks, quadratic in hot
-        n-grams beyond ~10^4 docs per block.  Above the threshold, switch
-        to the near-linear prefix-filtered blocker.  The probe is one agg
-        over the (tiny, per-group) doc-count table.
-
-        The probe is PER-RUN, not per-group: max(n_docs) over groups picks
-        one global plan.  A corpus with one huge block among thousands of
-        tiny ones routes everything through the prefix path -- safe, since
-        the prefix blocker is correct (and near-decision-identical) on
-        every block size, just unnecessary overhead for the tiny ones; the
-        reverse mistake (a huge block on the exact path) cannot happen
-        because max is the deciding statistic.  Grouped-skew behavior is
-        locked in tests/test_group_matching.py."""
-        if config.prefix_size is not None:
-            return config.prefix_size
-        max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0
-        if max_block > config.auto_prefix_threshold:
-            return config.auto_prefix_size
-        return None
-
     def _candidates():
-        prefix_size = _resolve_prefix_size()
+        prefix_size = (fitted.prefix_size if fitted is not None
+                       else _resolve_prefix_size(config, doc_counts))
 
         # cosines are rounded to 9 decimals before ranking so candidate
         # order (and thus argmax tie-breaks between equal-scoring masters,
@@ -274,10 +402,13 @@ def match_names(
                     qw, m_w, idf, config.top_n,
                     prefix_size=prefix_size,
                     df_cap_frac=config.df_cap_frac,
-                    round_decimals=9)
+                    round_decimals=9,
+                    master_pref=fitted.m_pref if fitted is not None else None,
+                    master_map=fitted.m_map if fitted is not None else None)
             return cosine_top_n(qw, m_w, config.top_n, idf=idf,
                                 df_cap_frac=config.df_cap_frac,
-                                round_decimals=9)
+                                round_decimals=9,
+                                master_capped=fitted is not None)
 
         cand = _gen(q_w)
         if config.preprocess_split:

@@ -6,8 +6,8 @@ while the master entity table stays put.  This module runs the SAME
 ``pipeline.match_names`` logic incrementally with Structured Streaming:
 
     readStream (file source over the pages/queries table)
-      -> foreachBatch: match_names(micro_batch, static_masters)
-      -> append parquet, exactly-once via checkpointLocation
+      -> foreachBatch: match_names(micro_batch, fitted=fit_master(...))
+      -> per-batch-partition overwrite parquet sink (idempotent replay)
 
 Why ``foreachBatch`` and not a fully streaming join: blocking + scoring is
 a multi-stage batch plan (TF-IDF join, window top-k, Arrow-batched scoring
@@ -21,11 +21,16 @@ row (asserted in tests/test_streaming.py and value-oracled by the
 expected table as the batch run).
 
 That master-side-only property is also what makes this correct at 100 TB:
-the static side is prepared once (broadcast-or-bucketed, reused across
-micro-batches), each micro-batch shuffles only its own rows, and Spark's
-streaming checkpoint (offset log + batch-id-transactional parquet sink)
-gives kill-and-resume without reprocessing committed batches -- the
-streaming twin of checkpoint.StageCheckpoint's resume story.
+the master side's fitted artifacts (normalized names, idf, capped weights,
+prefix postings/maps) are built ONCE up front by ``pipeline.fit_master``
+and persisted -- ZERO master-side jobs run inside the micro-batch loop
+(asserted via a master-scan accumulator in tests/test_streaming.py) -- so
+each micro-batch shuffles only its own rows.  Exactly-once delivery: the
+streaming checkpoint's offset log skips committed batches on restart, and
+because a crash can land AFTER a batch's parquet job commits but BEFORE
+the checkpoint records it, the sink writes each batch to its own
+``__batch_id=N`` partition with dynamic-partition overwrite -- a replayed
+batch overwrites its own partition instead of appending duplicates.
 
 Config constraint: ``preprocess_split`` and ``common_words`` derive state
 from the WHOLE query corpus (word frequencies), so they are inherently
@@ -45,6 +50,46 @@ from ..pipeline import MatchConfig, match_names
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
+
+BATCH_ID_COL = "__batch_id"
+
+
+def write_batch_idempotent(df: DataFrame, batch_id: int,
+                           output_dir: str) -> None:
+    """Idempotent foreachBatch parquet sink: the batch's rows land in
+    their own ``__batch_id=N`` partition via dynamic-partition overwrite.
+
+    This is what upgrades the sink from at-least-once to exactly-once:
+    if the process dies after the parquet job commits but before the
+    streaming checkpoint records the batch offset, the restarted query
+    re-runs the batch and OVERWRITES its own partition (same rows, no
+    duplicates) instead of appending a second copy.  Partitions of other
+    batches are untouched (dynamic mode overwrites only partitions
+    present in the data)."""
+    from pyspark.sql import functions as F
+
+    (df.withColumn(BATCH_ID_COL, F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(BATCH_ID_COL)
+     .parquet(output_dir))
+
+
+def linkage_batch_processor(spark, fitted, id_col: str, name_col: str,
+                            config: "MatchConfig", output_dir: str,
+                            extract: bool = False):
+    """foreachBatch body for the incremental linkage surfaces, factored
+    out so tests can replay it with a repeated batch_id (the exactly-once
+    property under a crash between sink commit and checkpoint commit)."""
+    from ..pipeline import extract_pages_names
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        a = extract_pages_names(batch_df) if extract else batch_df
+        out = match_names(spark, a, None, id_col, name_col,
+                          config=config, fitted=fitted)
+        write_batch_idempotent(out, batch_id, output_dir)
+
+    return _process
 
 
 def stream_pages(spark: SparkSession, input_dir: str,
@@ -74,13 +119,20 @@ def incremental_match(
     available_now: bool = True,
 ):
     """Run match_names on each micro-batch of ``stream_df`` against the
-    static ``masters`` table; append matches to ``output_dir`` parquet.
+    static ``masters`` table; matches land in ``output_dir`` parquet,
+    one ``__batch_id`` partition per micro-batch.
 
-    Exactly-once: the streaming checkpoint records committed batch ids, so
-    a killed-and-restarted query re-runs only uncommitted batches and the
-    parquet sink commit protocol keeps partial batch output invisible.
+    Exactly-once: the streaming checkpoint records committed batch ids
+    (a restart re-runs only uncommitted batches), and the sink is
+    idempotent per batch (``write_batch_idempotent``), so even a crash in
+    the window between a batch's parquet commit and its checkpoint commit
+    cannot duplicate rows -- the replay overwrites its own partition.
 
-    Returns the StreamingQuery (already terminated when available_now).
+    The master side is fully fitted ONCE up front (``fit_master``:
+    normalization, idf, capped weights, prefix postings/maps, all
+    persisted + materialized); the micro-batch loop runs zero master-side
+    jobs.  Returns the StreamingQuery (already terminated when
+    available_now).
     """
     if config.preprocess_split or config.common_words:
         raise ValueError(
@@ -88,28 +140,18 @@ def incremental_match(
             "query corpus and are not micro-batch invariant; run those "
             "via the batch pipeline")
     spark = masters.sparkSession
-    # normalize the static side ONCE (match_names' idempotent _prepare
-    # contract accepts the pre-prepared columns); every micro-batch then
-    # reuses the persisted normalized table instead of re-running the
-    # normalization UDF over the masters per batch
-    from ..pipeline import _prepare
-    masters = _prepare(masters, master_id_col, master_name_col, None,
-                       config).persist()
-    masters.count()
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = match_names(
-            spark, batch_df, masters, id_col, name_col,
-            "id", "name_raw", config=config)
-        out.write.mode("append").parquet(output_dir)
-
+    from ..pipeline import fit_master
+    fitted = fit_master(masters, master_id_col, master_name_col,
+                        config=config)
+    _process = linkage_batch_processor(spark, fitted, id_col, name_col,
+                                       config, output_dir)
     writer = (stream_df.writeStream
               .foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        masters.unpersist()
+        fitted.unpersist()
     else:
         q = writer.start()
     return q
@@ -128,10 +170,10 @@ def incremental_match_pages(
     a static master pages table (extracted once up front).  This is the
     spark-submit streaming surface (`run_linkage.py --stream-pages-a`).
 
-    The master side is extracted AND normalized once up front (the
-    idempotent _prepare contract); each micro-batch only prepares its
-    own rows."""
-    from ..pipeline import _prepare, extract_pages_names, match_names
+    The master side is extracted AND fully fitted once up front
+    (``fit_master``); each micro-batch only prepares its own rows.  Sink
+    is idempotent per batch (exactly-once, see module docstring)."""
+    from ..pipeline import extract_pages_names, fit_master
 
     if config.preprocess_split or config.common_words:
         raise ValueError(
@@ -139,23 +181,17 @@ def incremental_match_pages(
             "query corpus and are not micro-batch invariant; run those "
             "via the batch pipeline")
     spark = master_pages.sparkSession
-    masters = _prepare(extract_pages_names(master_pages), "url", "name",
-                       None, config).persist()
-    masters.count()
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        a = extract_pages_names(batch_df)
-        out = match_names(spark, a, masters, "url", "name",
-                          "id", "name_raw", config=config)
-        out.write.mode("append").parquet(output_dir)
-
+    fitted = fit_master(extract_pages_names(master_pages), "url", "name",
+                        config=config)
+    _process = linkage_batch_processor(spark, fitted, "url", "name",
+                                       config, output_dir, extract=True)
     writer = (stream_df.writeStream
               .foreachBatch(_process)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        masters.unpersist()
+        fitted.unpersist()
     else:
         q = writer.start()
     return q
@@ -297,13 +333,15 @@ def run_dedup_registry(
     stream_df: DataFrame, id_col: str, text_col: str,
     output_dir: str, checkpoint_dir: str,
 ):
-    """Drive dedup_registry_stream to a parquet sink (update rows appended;
-    the latest row per content_key is the registry state)."""
+    """Drive dedup_registry_stream to a parquet sink.  Update rows land in
+    per-batch partitions (idempotent replay, see write_batch_idempotent);
+    the row with the highest ``__batch_id`` per content_key is the
+    registry state."""
     reg = dedup_registry_stream(stream_df, id_col, text_col)
     q = (reg.writeStream
          .outputMode("update")
-         .foreachBatch(lambda df, _bid:
-                       df.write.mode("append").parquet(output_dir))
+         .foreachBatch(lambda df, bid:
+                       write_batch_idempotent(df, bid, output_dir))
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
@@ -324,8 +362,10 @@ def write_query_segments(df: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     from pyspark.sql import functions as F
 
+    # pmod, not abs+%: abs(hash) overflows to negative at Integer.MIN_VALUE
+    # (~2^-32 per row), which would silently drop the row from every segment
     df = df.withColumn(
-        "__seg", F.abs(F.hash(F.col(df.columns[0]))) % n_segments)
+        "__seg", F.pmod(F.hash(F.col(df.columns[0])), F.lit(n_segments)))
     for s in range(n_segments):
         stage = os.path.join(out_dir, f"__stage_{s}")
         (df.filter(F.col("__seg") == s).drop("__seg")

@@ -153,7 +153,14 @@ def main(argv=None):
         out = match_pages(spark, pages_a, pages_b, config=cfg,
                           checkpoint=ck, cluster=args.cluster)
         out.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:
+        # streaming mode with zero micro-batches/matches never creates the
+        # output path; that's a successful empty run, not a crash
+        if not args.stream_pages_a:
+            raise
+        n = 0
     print(f"wrote {n} rows to {args.output}")
     if ck:
         for m in ck.metrics():

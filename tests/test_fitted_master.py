@@ -1,0 +1,90 @@
+"""fit_master / FittedMaster reuse contract + _prepare fast-path gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.nm_core.preprocess import PreprocessConfig
+from name_matching_spark.pipeline import (
+    MatchConfig,
+    _prepare,
+    fit_master,
+    match_names,
+)
+
+
+def _corpus(spark):
+    masters = [(i, f"Acme Widgets Number {i} Incorporated") for i in
+               range(40)]
+    queries = [(i, f"Acme Widgets Number {i} Incorporatd") for i in
+               range(0, 40, 2)]
+    m = spark.createDataFrame(masters, "id long, name string")
+    q = spark.createDataFrame(queries, "id long, name string")
+    return m, q
+
+
+def _rows(df):
+    return sorted(
+        (r["a_id"], r["b_id"], round(r["score"], 6), r["source"])
+        for r in df.select("a_id", "b_id", "score", "source").collect())
+
+
+@pytest.mark.parametrize("cfg", [
+    MatchConfig(threshold=50.0, top_n=5, prefix_size=None),   # exact join
+    MatchConfig(threshold=50.0, top_n=5, prefix_size=3),      # prefix path
+], ids=["exact", "prefix"])
+def test_fitted_equals_unfitted(spark, cfg):
+    m, q = _corpus(spark)
+    direct = match_names(spark, q, m, "id", "name", "id", "name",
+                         config=cfg)
+    fitted = fit_master(m, "id", "name", config=cfg)
+    via_fit = match_names(spark, q, None, "id", "name",
+                          config=cfg, fitted=fitted)
+    assert _rows(direct) == _rows(via_fit)
+    assert len(_rows(direct)) >= 20
+    fitted.unpersist()
+
+
+def test_fitted_rejects_mismatched_config(spark):
+    m, q = _corpus(spark)
+    fitted = fit_master(m, "id", "name",
+                        config=MatchConfig(ngram_range=(2, 3)))
+    with pytest.raises(ValueError, match="different config"):
+        match_names(spark, q, None, "id", "name",
+                    config=MatchConfig(ngram_range=(2, 2)), fitted=fitted)
+    fitted.unpersist()
+
+
+def test_prepare_fast_path_gated_on_config_fingerprint(spark):
+    """ADVICE r3: the idempotent fast path must not fire for a side
+    prepared under a DIFFERENT PreprocessConfig (or a user table that
+    coincidentally carries the five prepared column names) -- those are
+    re-normalized under the requested config instead of silently reused."""
+    m, _ = _corpus(spark)
+    cfg_default = MatchConfig()
+    cfg_cased = MatchConfig(case_sensitive=True)
+
+    prepped_default = _prepare(m, "id", "name", None, cfg_default)
+    # same config -> fast path: identical plan output, still normalized
+    again = _prepare(prepped_default, "id", "name_raw", None, cfg_default)
+    assert again.select("name_norm").first() == \
+        prepped_default.select("name_norm").first()
+
+    # different preprocess config -> fast path must NOT fire: name_light
+    # keeps case under case_sensitive, so a silent reuse would be wrong
+    reprep = _prepare(prepped_default, "id", "name_raw", None, cfg_cased)
+    direct = _prepare(m, "id", "name", None, cfg_cased)
+    assert sorted(r["name_light"] for r in reprep.collect()) == \
+        sorted(r["name_light"] for r in direct.collect())
+    assert reprep.select("name_light").first()[0] != \
+        prepped_default.select("name_light").first()[0]
+
+    # column-name coincidence without the marker -> re-normalized, not
+    # trusted (the raw strings here are NOT normalized output)
+    fake = m.select(
+        F.col("id"), F.lit("").alias("__group"),
+        F.col("name").alias("name_raw"),
+        F.col("name").alias("name_light"),
+        F.col("name").alias("name_norm"))
+    fixed = _prepare(fake, "id", "name_raw", None, cfg_default)
+    assert fixed.select("name_norm").first()[0] == \
+        prepped_default.select("name_norm").first()[0]
