@@ -110,22 +110,29 @@ def lsh_bucket_topk(
     components as SQL literals.  Plane dots are rounded to 9 decimals
     before the sign test and ``round_decimals`` rounds the final cosine,
     making bucket assignment and ranking summation-order independent.
+
+    Shuffle-volume shape: the bucket join and the multi-table-collision
+    dedup run over (id, bucket) KEY tables only -- the dim-sized vectors
+    are joined back per surviving candidate pair afterwards, so neither
+    the bucket-join shuffle nor the distinct exchange carries arrays
+    (~dim x smaller exchanges at embedding-corpus scale).
     """
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
     q = queries.select(F.col(qid_col).alias("qid"),
                        _as_double_array(F.col(qvec_col)).alias("qv"))
     v_b = v.select(
-        "vec_id", "v",
+        "vec_id",
         F.explode(F.array(*[_sig_col(F.col("v"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
     q_b = q.select(
-        "qid", "qv",
+        "qid",
         F.explode(F.array(*[_sig_col(F.col("qv"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
+    cand_keys = (v_b.join(q_b, "bucket")
+                 .select("qid", "vec_id").distinct())
     cand = (
-        v_b.join(q_b, "bucket")
-        .select("qid", "qv", "vec_id", "v").distinct()
+        cand_keys.join(q, "qid").join(v, "vec_id")
         .withColumn("cosine", _cosine(F.col("qv"), F.col("v")))
     )
     if round_decimals is not None:
@@ -246,8 +253,11 @@ def embedding_near_dups_lsh(
     """
     v = vectors.select(F.col(id_col).alias("id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
+    # bucket table carries KEYS only -- the self-join shuffle and the
+    # multi-table-collision distinct move (id, bucket) rows, not dim-sized
+    # arrays; vectors are joined back per surviving candidate pair
     v_b = v.select(
-        "id", "v",
+        "id",
         F.explode(F.array(*[_sig_col(F.col("v"), t, dim, num_planes)
                             for t in range(num_tables)])).alias("bucket"))
     if max_bucket is not None:
@@ -257,14 +267,19 @@ def embedding_near_dups_lsh(
         hot = (v_b.groupBy("bucket").count()
                .filter(F.col("count") > max_bucket).select("bucket"))
         v_b = v_b.join(F.broadcast(hot), "bucket", "left_anti")
-    a = v_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                   "bucket")
-    b = v_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                   "bucket")
-    cand = (
+    a = v_b.select(F.col("id").alias("id_a"), "bucket")
+    b = v_b.select(F.col("id").alias("id_b"), "bucket")
+    cand_keys = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb").distinct()
+        .select("id_a", "id_b").distinct()
+    )
+    cand = (
+        cand_keys
+        .join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+              "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+              "id_b")
         .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
     )
     if round_decimals is not None:

@@ -203,6 +203,14 @@ def test_embedding_near_dups_lsh_plan_and_hot_bucket_cap(spark):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the multi-table-collision dedup must shuffle id KEYS only -- a
+    # distinct whose grouping carries the dim-sized arrays would make the
+    # dedup exchange ~dim x larger than needed at embedding-corpus scale
+    import re
+    dedup_keys = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    assert dedup_keys, "expected a distinct HashAggregate in the plan"
+    assert not any("va#" in k or "vb#" in k or "v#" in k
+                   for k in dedup_keys), dedup_keys
     # capped: the 40-vector hot cluster's buckets are dropped, the
     # exact-copy twins (distinct buckets, size ~2) all survive
     capped = ann.embedding_near_dups_lsh(df, min_cosine=0.95, dim=16,
