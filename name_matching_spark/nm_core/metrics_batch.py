@@ -189,35 +189,63 @@ def flat_metric_columns(metrics) -> list[str]:
     return [rev[id(fn)] for fns in registry.values() for fn in fns]
 
 
+# cross-batch pair-score cache, one dict per metric tuple, living in the
+# long-lived Python worker: real corpora repeat normalized names across
+# Arrow batches too (hot company names pair with many queries), so a pair
+# scored in batch k is free in batch k+1.  Entries are (a, b) -> the
+# float64 score row; reuse is bit-identical by construction (the same row
+# the kernel produced).  The cap bounds worker memory (a full cache is
+# ~tens of MB incl. key strings); on overflow the cache is cleared rather
+# than LRU-tracked -- hit accounting stays O(1) and a refill is cheap
+# relative to the scoring it saves.
+_PAIR_CACHE: dict[tuple, dict] = {}
+_PAIR_CACHE_MAX = 1 << 18
+
+
 def score_batch(a_strs: list[str], b_strs: list[str],
                 metrics) -> np.ndarray:
     """(B, n_metrics) score matrix; batch kernels where available, scalar
     functions elsewhere.  Column order == flat_metric_fns order.
 
-    Identical (a, b) pairs inside a batch are scored ONCE and the row is
+    Identical (a, b) pairs are scored ONCE -- within a batch (the
+    index/inv pass) AND across batches (_PAIR_CACHE) -- and the row is
     broadcast back (real name corpora are duplicate-heavy: normalized
-    names repeat, so candidate pairs repeat).  Scores are bit-identical by
-    construction -- the same functions run on the same strings -- and the
-    dict pass is O(B) string hashing, noise next to the ~10^2 us/pair
-    kernel."""
+    names repeat, so candidate pairs repeat).  Scores are bit-identical
+    by construction -- the same functions run on the same strings -- and
+    the dict passes are O(B) string hashing, noise next to the
+    ~10^2 us/pair kernel."""
     names = flat_metric_columns(metrics)
+    cache = _PAIR_CACHE.setdefault(tuple(names), {})
     B = len(a_strs)
     index: dict[tuple[str, str], int] = {}
-    firsts: list[int] = []
     inv = np.empty(B, np.int64)
     for i in range(B):
         key = (a_strs[i], b_strs[i])
         j = index.get(key)
         if j is None:
-            j = len(firsts)
+            j = len(index)
             index[key] = j
-            firsts.append(i)
         inv[i] = j
-    if len(firsts) < B:
-        out_u = _score_unique([a_strs[i] for i in firsts],
-                              [b_strs[i] for i in firsts], names)
-        return out_u[inv]
-    return _score_unique(a_strs, b_strs, names)
+    keys = list(index)              # insertion order == unique index order
+    out_u = np.empty((len(keys), len(names)), np.float64)
+    miss_keys: list[tuple[str, str]] = []
+    miss_pos: list[int] = []
+    for u, key in enumerate(keys):
+        row = cache.get(key)
+        if row is not None:
+            out_u[u] = row
+        else:
+            miss_keys.append(key)
+            miss_pos.append(u)
+    if miss_keys:
+        scored = _score_unique([k[0] for k in miss_keys],
+                               [k[1] for k in miss_keys], names)
+        out_u[miss_pos] = scored
+        if len(cache) + len(miss_keys) > _PAIR_CACHE_MAX:
+            cache.clear()
+        for k, row in zip(miss_keys, scored):
+            cache[k] = row
+    return out_u[inv]
 
 
 def _score_unique(a_strs: list[str], b_strs: list[str],

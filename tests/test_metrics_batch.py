@@ -130,3 +130,41 @@ def test_score_batch_dedups_duplicate_pairs_bit_identically():
             np.testing.assert_array_equal(mat[i], mat[seen[p]])
         else:
             seen[p] = i
+
+
+def test_cross_batch_pair_cache_bit_identical():
+    """The worker-lifetime pair cache (pairs repeating ACROSS Arrow
+    batches) must return exactly the rows the kernel produced, survive
+    partial-overlap batches, and recompute correctly after an
+    overflow-triggered clear."""
+    MB._PAIR_CACHE.clear()
+    base = GOLDEN_PAIRS + EDGE_PAIRS + _fuzz_pairs(100, seed=29)
+    a = [p[0] for p in base]
+    b = [p[1] for p in base]
+    cold = MB.score_batch(a, b, M.DEFAULT_METRICS)
+    warm = MB.score_batch(a, b, M.DEFAULT_METRICS)        # all cache hits
+    np.testing.assert_array_equal(cold, warm)
+
+    fresh = _fuzz_pairs(50, seed=31)
+    mixed_pairs = base + fresh
+    mixed = MB.score_batch([p[0] for p in mixed_pairs],
+                           [p[1] for p in mixed_pairs], M.DEFAULT_METRICS)
+    np.testing.assert_array_equal(mixed[:len(base)], cold)
+    MB._PAIR_CACHE.clear()
+    nocache = MB.score_batch([p[0] for p in mixed_pairs],
+                             [p[1] for p in mixed_pairs], M.DEFAULT_METRICS)
+    np.testing.assert_array_equal(mixed, nocache)
+
+    # overflow: cap smaller than the unique-pair count -> cache clears and
+    # refills, values unaffected
+    old_max = MB._PAIR_CACHE_MAX
+    try:
+        MB._PAIR_CACHE_MAX = 8
+        MB._PAIR_CACHE.clear()
+        again = MB.score_batch(a, b, M.DEFAULT_METRICS)
+        np.testing.assert_array_equal(again, cold)
+        assert len(MB._PAIR_CACHE[tuple(
+            MB.flat_metric_columns(M.DEFAULT_METRICS))]) <= len(base)
+    finally:
+        MB._PAIR_CACHE_MAX = old_max
+        MB._PAIR_CACHE.clear()
