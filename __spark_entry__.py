@@ -406,6 +406,58 @@ def _q_streaming_linkage(spark, sf_dir):
     return res
 
 
+def _q_optimiser_predict(spark, sf_dir):
+    """O29 fit->predict end to end (reference NameMatchingOptimiser,
+    name_matching_optimiser.py:188-261,591-621): a labeled pair fixture --
+    each truncated query vs its true master (label 1) and vs the next
+    query's master (label 0) -- is scored with the 5-metric ensemble
+    (score_candidates keep_scores), fed to the seed-pinned
+    StandardScaler+GBT fit on ONE sorted partition (so the fit is
+    independent of session parallelism / input split order), and the
+    fitted model's per-query argmax predictions are returned.
+
+    Oracle: expected table pinned by tools/gen_expected.py.  GBT
+    internals are not DuckDB-expressible, so unlike the NumPy-oracle
+    e2e tables this one is a REGRESSION pin (generated by this same
+    path, then held fixed): the gate still value-checks that the whole
+    fit->predict surface reproduces bit-stable probabilities run over
+    run and session over session."""
+    from pyspark.sql import Window
+
+    from name_matching_spark.operators.optimiser import (
+        fit_optimiser, predict_matches)
+    from name_matching_spark.operators.scoring import score_candidates
+
+    masters = _part_names(spark, sf_dir)
+    queries_df = _query_names(spark, sf_dir)
+    w_next = Window.orderBy("id")
+    w_all = w_next.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    neg_map = queries_df.select("id").withColumn(
+        "neg_id", F.coalesce(F.lead("id").over(w_next),
+                             F.min("id").over(w_all)))
+    pos = (
+        queries_df.alias("q")
+        .join(masters.alias("m"), F.col("q.id") == F.col("m.id"))
+        .select(F.col("q.id").alias("qid"), F.col("m.id").alias("mid"),
+                F.col("q.name").alias("query_name"),
+                F.col("m.name").alias("cand_name"),
+                F.lit(1).alias("label")))
+    neg = (
+        queries_df.join(neg_map, "id")
+        .join(masters.select(F.col("id").alias("neg_id"),
+                             F.col("name").alias("cand_name")), "neg_id")
+        .select(F.col("id").alias("qid"), F.col("neg_id").alias("mid"),
+                F.col("name").alias("query_name"), "cand_name",
+                F.lit(0).alias("label")))
+    scored = score_candidates(pos.unionByName(neg), keep_scores=True)
+    train = scored.coalesce(1).sortWithinPartitions("qid", "mid")
+    model = fit_optimiser(train, max_iter=10)
+    pred = predict_matches(model, scored, threshold=0.5)
+    return pred.select("qid", "mid", "label",
+                       F.round("match_prob", 9).alias("match_prob"))
+
+
 def _q_annotation_queue(spark, sf_dir):
     """O30 (batch-first): ambiguous-match labeling queue over the
     per-metric match run -- band preselect on each query's best score
@@ -571,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_linkage_e2e": _q_streaming_linkage,
         "match_parts_permetric_e2e": _q_match_parts_permetric,
         "annotation_queue": _q_annotation_queue,
+        "optimiser_predict": _q_optimiser_predict,
         "match_parts_split_e2e": _q_match_parts_split,
         "simhash_docs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1291,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         "cluster_pages_e2e": """
             SELECT id, component
             FROM read_parquet('/root/repo/expected/cluster_pages_40.parquet')
+        """,
+        "optimiser_predict": """
+            SELECT qid, mid, label, match_prob FROM read_parquet(
+                '/root/repo/expected/optimiser_predict_sf001.parquet')
         """,
         "simhash_docs": _simhash_sql("SELECT doc_id, text FROM documents"),
         "simhash_pairs": _simhash_pairs_sql(),

@@ -147,9 +147,30 @@ def gen_cluster_pages(entities: int = 40, variants: int = 2) -> str:
     return path
 
 
+def gen_optimiser_predict(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Expected output of entry query optimiser_predict.  Unlike the
+    NumPy-oracle tables above, GBT internals have no dependency-free
+    twin, so this table is a REGRESSION pin: generated once by the entry
+    query itself (seed-pinned, 1-partition fit -> run/session
+    deterministic) and then held fixed, making any behavioral drift in
+    the scaler/GBT/predict path a hash mismatch at the gate."""
+    import __spark_entry__ as entry
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark("gen-expected-optimiser")
+    df = entry.queries()["optimiser_predict"](spark, sf_dir).toPandas()
+    df = df.sort_values(["qid", "mid"]).reset_index(drop=True)
+    path = os.path.join(OUT_DIR, "optimiser_predict_sf001.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    print(f"{path}: {len(df)} rows")
+    spark.stop()
+    return path
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     gen_match_parts()
     gen_match_parts_permetric()
     gen_match_parts_split()
     gen_cluster_pages()
+    gen_optimiser_predict()
