@@ -47,10 +47,10 @@ def _wait_quiet(target: float = 8.0, max_wait_s: int = 300) -> float:
     return round(time.time() - t0, 1)
 
 
-def _fresh_spark(cores: int, shuffle: int):
+def _fresh_spark(cores: int, shuffle: int, extra_conf: dict | None = None):
     from name_matching_spark.session import get_spark
     return get_spark("nm-bench", master=f"local[{cores}]",
-                     shuffle_partitions=shuffle)
+                     shuffle_partitions=shuffle, extra_conf=extra_conf)
 
 
 def headline(spark) -> tuple[dict, dict]:
@@ -66,27 +66,41 @@ def headline(spark) -> tuple[dict, dict]:
     all_runs: dict[str, list[float]] = {}
     trials = int(os.environ.get("SPARK_GRAFT_HEADLINE_TRIALS", "2"))
 
-    def run(name, thunk):
+    def run(name, thunk, anchor=None):
         """Best-of-``trials`` wall time per query.  The box is a shared
         host with minutes-scale external-tenant bursts; a single
         timing can land inside one.  Each trial rebuilds the DataFrame
         from scratch (fresh plan objects, no persisted state carries
         over), so the min is the same job under the least noise, not a
-        cache hit."""
+        cache hit.  Every trial records the 1-min load average it
+        started under, so a contended number is self-labeling in the
+        artifact.  ``anchor`` is the documented clean-run seconds for
+        contention-canary queries: when EVERY trial lands >2x the
+        anchor, the whole phase was contended -- wait out the burst
+        (bounded) and take one extra measurement."""
         n = None
         secs = []
-        for _ in range(trials):
+        loads = []
+
+        def one_trial():
+            nonlocal n
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
             n = thunk()
             secs.append(round(time.time() - t0, 3))
+
+        for _ in range(trials):
+            one_trial()
         # a >2x spread between trials means an external-tenant burst hit
         # one of them -- take one extra trial to find a quiet window
         if len(secs) > 1 and max(secs) > 2 * min(secs):
-            t0 = time.time()
-            n = thunk()
-            secs.append(round(time.time() - t0, 3))
+            one_trial()
+        if anchor is not None and min(secs) > 2 * anchor:
+            all_runs[name + "_anchor_retry_wait_s"] = _wait_quiet(
+                target=4.0)
+            one_trial()
         times[name] = min(secs)
-        all_runs[name] = secs
+        all_runs[name] = {"secs": secs, "load_1m_before": loads}
         return n
 
     # q1: full record-linkage on the synthetic pages corpus (the flagship
@@ -98,8 +112,11 @@ def headline(spark) -> tuple[dict, dict]:
     a = pages.filter(F.col("variant_id") == 1)
     b = pages.filter(F.col("variant_id") == 0)
     cfg = MatchConfig(threshold=50.0, df_cap_frac=0.25)
+    # anchors = documented clean-run seconds (BENCH.md round-3 clean run);
+    # q1/q7 are the contention canaries (~5x swings under external load)
     n_matches = run("q1_linkage_pages",
-                    lambda: match_pages(spark, a, b, config=cfg).count())
+                    lambda: match_pages(spark, a, b, config=cfg).count(),
+                    anchor=20.0)
     extras["q1_matches"] = n_matches
     pages.unpersist()
 
@@ -157,7 +174,7 @@ def headline(spark) -> tuple[dict, dict]:
             top_n=50, prefix_size=6, df_cap_frac=0.2).count()
         names.unpersist()
         return n
-    run("q7_prefix_blocking_20k", _q7)
+    run("q7_prefix_blocking_20k", _q7, anchor=46.0)
     extras["queries_runs"] = all_runs
     return times, extras
 
@@ -206,17 +223,27 @@ def scoring_workload(spark, entities: int, out_dir: str) -> str:
     return path
 
 
-def time_scoring(cores: int, pairs_path: str, trials: int = 3) -> dict:
+def time_scoring(cores: int, pairs_path: str, trials: int = 3,
+                 pair_cache: bool = False) -> dict:
     """One fresh local[cores] session; time the pandas-UDF scoring job.
 
     A full warm-up pass spawns and primes every python worker (imports,
     caches) so the measurement is the steady-state scoring throughput; the
-    best of ``trials`` reduces scheduler noise."""
+    best of ``trials`` reduces scheduler noise.
+
+    The cross-batch pair cache is DISABLED by default (executorEnv
+    NM_PAIR_CACHE_MAX=0): repeated timed passes over one fixed workload
+    would otherwise measure cache-hit throughput, not the scoring kernel
+    the scaling criterion is about.  ``pair_cache=True`` measures the
+    cached steady state instead (reported separately)."""
     from pyspark.sql import functions as F
 
     from name_matching_spark.operators.scoring import score_mean_udf
 
-    spark = _fresh_spark(cores, shuffle=max(2 * cores, 16))
+    extra = ({} if pair_cache
+             else {"spark.executorEnv.NM_PAIR_CACHE_MAX": "0"})
+    spark = _fresh_spark(cores, shuffle=max(2 * cores, 16),
+                         extra_conf=extra)
     try:
         # 10k-row Arrow batches amortize the JVM<->Python crossing now that
         # the kernel is numpy-batched (it chunks internally for cache
@@ -247,7 +274,12 @@ def main():
     sf = _sf_label(SF_DIR)
     out = {"metric": "candidate-pairs-scored/sec", "unit": "sec", "sf": sf}
 
-    out["quiet_wait_headline_s"] = _wait_quiet()
+    # headline waits to the same 4.0 target as the scaling phases: q7
+    # degrades ~5x already at ~10 externally-held cores, so the old 8.0
+    # "under the wire" threshold recorded contended canaries two rounds
+    # running (longer bound -- better one late clean artifact than an
+    # on-time contended one)
+    out["quiet_wait_headline_s"] = _wait_quiet(target=4.0, max_wait_s=900)
     spark = _fresh_spark(CPUS, shuffle=max(2 * CPUS, 32))
     out["load_avg_before_headline"] = [round(x, 2) for x in os.getloadavg()]
     try:
@@ -321,7 +353,7 @@ def main():
                 >= min(r["sec"] for r in lo2_runs)
                 or max(r["pairs_per_sec"] for r in hi2_runs)
                 < hi["pairs_per_sec"]):
-            out["saturated_retry_wait_s"] = _wait_quiet()
+            out["saturated_retry_wait_s"] = _wait_quiet(target=4.0)
             hi2_runs.append(time_scoring(32, pairs_path, trials=2))
             lo2_runs.append(time_scoring(8, pairs_path, trials=2))
             extra += 1
@@ -338,6 +370,12 @@ def main():
         }
         out["load_avg_after_saturated"] = [round(x, 2)
                                            for x in os.getloadavg()]
+        # bonus evidence: steady-state throughput WITH the cross-batch
+        # pair cache (the production behavior on duplicate-heavy
+        # corpora) -- same fixed workload, warm workers, cache hot after
+        # the warm-up pass
+        cached = time_scoring(32, pairs_path, trials=2, pair_cache=True)
+        out["pairs_per_sec_cached_32"] = cached["pairs_per_sec"]
     print(json.dumps(out))
 
 

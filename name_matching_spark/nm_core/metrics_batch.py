@@ -197,9 +197,14 @@ def flat_metric_columns(metrics) -> list[str]:
 # the kernel produced).  The cap bounds worker memory (a full cache is
 # ~tens of MB incl. key strings); on overflow the cache is cleared rather
 # than LRU-tracked -- hit accounting stays O(1) and a refill is cheap
-# relative to the scoring it saves.
+# relative to the scoring it saves.  NM_PAIR_CACHE_MAX=0 (propagated to
+# workers via spark.executorEnv) disables cross-batch reuse -- the bench's
+# scaling legs use it so repeated timing passes over one fixed workload
+# measure the KERNEL, not cache-hit throughput.
+import os as _os
+
 _PAIR_CACHE: dict[tuple, dict] = {}
-_PAIR_CACHE_MAX = 1 << 18
+_PAIR_CACHE_MAX = int(_os.environ.get("NM_PAIR_CACHE_MAX", str(1 << 18)))
 
 
 def score_batch(a_strs: list[str], b_strs: list[str],
@@ -215,7 +220,8 @@ def score_batch(a_strs: list[str], b_strs: list[str],
     the dict passes are O(B) string hashing, noise next to the
     ~10^2 us/pair kernel."""
     names = flat_metric_columns(metrics)
-    cache = _PAIR_CACHE.setdefault(tuple(names), {})
+    cache = (_PAIR_CACHE.setdefault(tuple(names), {})
+             if _PAIR_CACHE_MAX > 0 else None)
     B = len(a_strs)
     index: dict[tuple[str, str], int] = {}
     inv = np.empty(B, np.int64)
@@ -231,7 +237,7 @@ def score_batch(a_strs: list[str], b_strs: list[str],
     miss_keys: list[tuple[str, str]] = []
     miss_pos: list[int] = []
     for u, key in enumerate(keys):
-        row = cache.get(key)
+        row = cache.get(key) if cache is not None else None
         if row is not None:
             out_u[u] = row
         else:
@@ -241,10 +247,11 @@ def score_batch(a_strs: list[str], b_strs: list[str],
         scored = _score_unique([k[0] for k in miss_keys],
                                [k[1] for k in miss_keys], names)
         out_u[miss_pos] = scored
-        if len(cache) + len(miss_keys) > _PAIR_CACHE_MAX:
-            cache.clear()
-        for k, row in zip(miss_keys, scored):
-            cache[k] = row
+        if cache is not None:
+            if len(cache) + len(miss_keys) > _PAIR_CACHE_MAX:
+                cache.clear()
+            for k, row in zip(miss_keys, scored):
+                cache[k] = row
     return out_u[inv]
 
 

@@ -261,40 +261,60 @@ def fit_master(
     group_col_b: str | None = None,
     config: MatchConfig = MatchConfig(),
     persist: bool = True,
+    checkpoint: StageCheckpoint | None = None,
 ) -> FittedMaster:
     """Build (and by default persist + materialize) every master-side
     artifact ``match_names`` needs, so subsequent calls with
     ``fitted=`` run ZERO master-side jobs -- the batch twin of fitting a
     model once and serving it.  Materialization is eager (one count per
-    table) so the first micro-batch doesn't pay the fit either."""
-    b = _prepare(df_b, id_col_b, name_col_b, group_col_b, config)
+    table) so the first micro-batch doesn't pay the fit either.
+
+    ``checkpoint``: a StageCheckpoint (scoped here by the fit
+    fingerprint, so a config change recomputes instead of serving stale
+    tables) durably stores each fitted table.  A RESTARTED driver --
+    e.g. the streaming linkage job relaunched against the same
+    checkpoint root -- then reloads the fit from parquet/Iceberg
+    without rescanning the master table at all (asserted in
+    tests/test_fitted_master.py)."""
+    if checkpoint is not None:
+        checkpoint = checkpoint.scoped("fit_" + _fit_fingerprint(config))
     persisted: list[DataFrame] = []
 
-    def _p(d: DataFrame) -> DataFrame:
+    def _p(stage: str, compute) -> DataFrame:
         # persist AND materialize immediately: each later artifact then
         # derives from the cached parent, so the source table is scanned
         # exactly once per fit however many artifacts stack on top
+        d = (checkpoint.get_or_compute(stage, compute)
+             if checkpoint is not None else compute())
         if persist:
             d = d.persist()
             d.count()
             persisted.append(d)
         return d
 
-    b = _p(b)
+    b = _p("master_prepared",
+           lambda: _prepare(df_b, id_col_b, name_col_b, group_col_b,
+                            config))
     m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
-    doc_counts = _p(doc_count_table(b, "id"))
-    idf = _p(idf_table(m_tf, doc_counts))
-    m_w = master_weights(m_tf, idf)
-    if config.df_cap_frac is not None:
-        from .operators.blocking import cap_hot_ngrams
-        m_w = cap_hot_ngrams(m_w, idf, config.df_cap_frac)
-    m_w = _p(m_w)
+    doc_counts = _p("master_doc_counts", lambda: doc_count_table(b, "id"))
+    idf = _p("master_idf", lambda: idf_table(m_tf, doc_counts))
+
+    def _mw():
+        m_w = master_weights(m_tf, idf)
+        if config.df_cap_frac is not None:
+            from .operators.blocking import cap_hot_ngrams
+            m_w = cap_hot_ngrams(m_w, idf, config.df_cap_frac)
+        return m_w
+
+    m_w = _p("master_weights", _mw)
     prefix_size = _resolve_prefix_size(config, doc_counts)
     m_pref = m_map = None
     if prefix_size is not None:
         from .operators.blocking import rare_prefix_postings, weights_as_map
-        m_pref = _p(rare_prefix_postings(m_w, idf, prefix_size))
-        m_map = _p(weights_as_map(m_w, "mid", "mm"))
+        m_pref = _p("master_prefix_postings",
+                    lambda: rare_prefix_postings(m_w, idf, prefix_size))
+        m_map = _p("master_weight_maps",
+                   lambda: weights_as_map(m_w, "mid", "mm"))
     return FittedMaster(masters=b, doc_counts=doc_counts, idf=idf, m_w=m_w,
                         prefix_size=prefix_size, m_pref=m_pref, m_map=m_map,
                         fit_fp=_fit_fingerprint(config),

@@ -117,10 +117,16 @@ def incremental_match(
     checkpoint_dir: str,
     config: MatchConfig = MatchConfig(),
     available_now: bool = True,
+    fit_checkpoint=None,
 ):
     """Run match_names on each micro-batch of ``stream_df`` against the
     static ``masters`` table; matches land in ``output_dir`` parquet,
     one ``__batch_id`` partition per micro-batch.
+
+    ``fit_checkpoint``: optional StageCheckpoint -- the fitted master
+    artifacts are then stored durably, so a RESTARTED driver reloads
+    them instead of rescanning the master table (pairs with the
+    streaming checkpoint's only-new-segments resume).
 
     Exactly-once: the streaming checkpoint records committed batch ids
     (a restart re-runs only uncommitted batches), and the sink is
@@ -142,7 +148,7 @@ def incremental_match(
     spark = masters.sparkSession
     from ..pipeline import fit_master
     fitted = fit_master(masters, master_id_col, master_name_col,
-                        config=config)
+                        config=config, checkpoint=fit_checkpoint)
     _process = linkage_batch_processor(spark, fitted, id_col, name_col,
                                        config, output_dir)
     writer = (stream_df.writeStream
@@ -164,6 +170,7 @@ def incremental_match_pages(
     checkpoint_dir: str,
     config: MatchConfig = MatchConfig(),
     available_now: bool = True,
+    fit_checkpoint=None,
 ):
     """Pages-level twin of ``incremental_match``: micro-batches of raw
     web pages (input_hint schema) are name-extracted and matched against
@@ -171,7 +178,8 @@ def incremental_match_pages(
     spark-submit streaming surface (`run_linkage.py --stream-pages-a`).
 
     The master side is extracted AND fully fitted once up front
-    (``fit_master``); each micro-batch only prepares its own rows.  Sink
+    (``fit_master``; with ``fit_checkpoint`` the fit is durable across
+    driver restarts); each micro-batch only prepares its own rows.  Sink
     is idempotent per batch (exactly-once, see module docstring)."""
     from ..pipeline import extract_pages_names, fit_master
 
@@ -182,7 +190,7 @@ def incremental_match_pages(
             "via the batch pipeline")
     spark = master_pages.sparkSession
     fitted = fit_master(extract_pages_names(master_pages), "url", "name",
-                        config=config)
+                        config=config, checkpoint=fit_checkpoint)
     _process = linkage_batch_processor(spark, fitted, "url", "name",
                                        config, output_dir, extract=True)
     writer = (stream_df.writeStream

@@ -146,9 +146,13 @@ def main(argv=None):
         from name_matching_spark.streaming.incremental import (
             incremental_match_pages, stream_pages)
         stream = stream_pages(spark, args.stream_pages_a)
+        # --checkpoint-dir doubles as the fitted-master store in streaming
+        # mode: a relaunched driver reloads the fit instead of rescanning
+        # the master table
         incremental_match_pages(
             stream, pages_b, output_dir=args.output,
-            checkpoint_dir=args.stream_checkpoint, config=cfg)
+            checkpoint_dir=args.stream_checkpoint, config=cfg,
+            fit_checkpoint=ck)
     else:
         out = match_pages(spark, pages_a, pages_b, config=cfg,
                           checkpoint=ck, cluster=args.cluster)

@@ -54,6 +54,50 @@ def test_fitted_rejects_mismatched_config(spark):
     fitted.unpersist()
 
 
+def test_fit_checkpoint_reloads_without_master_rescan(spark, tmp_path):
+    """A restarted driver (same checkpoint root, same config) must reload
+    the fitted master artifacts from the durable store instead of
+    rescanning the master table: the accumulator-tapped master source
+    sees ZERO rows during the second fit, and matches are identical."""
+    import pandas as pd
+
+    from name_matching_spark.checkpoint import StageCheckpoint
+
+    m, q = _corpus(spark)
+    cfg = MatchConfig(threshold=50.0, top_n=5, prefix_size=3)
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("string")
+    def _tap(names: pd.Series) -> pd.Series:
+        acc.add(len(names))
+        return names
+
+    m_tapped = m.withColumn("name", _tap(F.col("name")))
+    ck = StageCheckpoint(spark, tmp_path / "fitck", "masters_v1")
+    f1 = fit_master(m_tapped, "id", "name", config=cfg, checkpoint=ck)
+    first = _rows(match_names(spark, q, None, "id", "name",
+                              config=cfg, fitted=f1))
+    f1.unpersist()
+    scans_after_first = acc.value
+    assert scans_after_first >= 40
+
+    # "restart": fresh fit against the same root -- served from parquet
+    ck2 = StageCheckpoint(spark, tmp_path / "fitck", "masters_v1")
+    f2 = fit_master(m_tapped, "id", "name", config=cfg, checkpoint=ck2)
+    assert acc.value == scans_after_first       # zero master rescans
+    again = _rows(match_names(spark, q, None, "id", "name",
+                              config=cfg, fitted=f2))
+    assert again == first
+    f2.unpersist()
+
+    # a DIFFERENT config must recompute, not serve the stale fit
+    cfg2 = MatchConfig(threshold=50.0, top_n=5, prefix_size=3,
+                       ngram_range=(2, 2))
+    f3 = fit_master(m_tapped, "id", "name", config=cfg2, checkpoint=ck2)
+    assert acc.value > scans_after_first
+    f3.unpersist()
+
+
 def test_prepare_fast_path_gated_on_config_fingerprint(spark):
     """ADVICE r3: the idempotent fast path must not fire for a side
     prepared under a DIFFERENT PreprocessConfig (or a user table that
