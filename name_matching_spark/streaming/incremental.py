@@ -80,14 +80,31 @@ def linkage_batch_processor(spark, fitted, id_col: str, name_col: str,
                             extract: bool = False):
     """foreachBatch body for the incremental linkage surfaces, factored
     out so tests can replay it with a repeated batch_id (the exactly-once
-    property under a crash between sink commit and checkpoint commit)."""
-    from ..pipeline import extract_pages_names
+    property under a crash between sink commit and checkpoint commit).
+
+    Cache hygiene for unbounded streams: the batch's prepared query side
+    is persisted HERE (its 3-4 consumers inside match_names -- exact
+    join, anti-join, n-gram explode, pairs join -- then read one cached
+    table; the idempotent _prepare fast path picks it up) and unpersisted
+    after the sink write, with match_names' own per-call caching turned
+    off.  Leaving that to match_names would leak one storage entry per
+    micro-batch forever -- eviction keeps memory bounded, but a
+    weeks-long stream would churn the block manager for no reuse."""
+    from dataclasses import replace
+
+    from ..pipeline import _prepare, extract_pages_names
+
+    batch_config = replace(config, cache_intermediates=False)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         a = extract_pages_names(batch_df) if extract else batch_df
-        out = match_names(spark, a, None, id_col, name_col,
-                          config=config, fitted=fitted)
-        write_batch_idempotent(out, batch_id, output_dir)
+        prep = _prepare(a, id_col, name_col, None, config).persist()
+        try:
+            out = match_names(spark, prep, None, id_col, name_col,
+                              config=batch_config, fitted=fitted)
+            write_batch_idempotent(out, batch_id, output_dir)
+        finally:
+            prep.unpersist()
 
     return _process
 
