@@ -247,6 +247,7 @@ class FittedMaster:
     m_pref: DataFrame | None      # prefix postings (prefix path only)
     m_map: DataFrame | None       # weight-vector maps (prefix path only)
     fit_fp: str                   # _fit_fingerprint of the fitting config
+    grouped: bool = False         # fitted with a blocking-group column?
     _persisted: tuple = ()
 
     def unpersist(self) -> None:
@@ -318,6 +319,7 @@ def fit_master(
     return FittedMaster(masters=b, doc_counts=doc_counts, idf=idf, m_w=m_w,
                         prefix_size=prefix_size, m_pref=m_pref, m_map=m_map,
                         fit_fp=_fit_fingerprint(config),
+                        grouped=group_col_b is not None,
                         _persisted=tuple(persisted))
 
 
@@ -350,6 +352,16 @@ def match_names(
             "FittedMaster was built under a different config (preprocess/"
             "ngram_range/df_cap_frac/prefix plan differ); refit with "
             "fit_master(config=...) matching this call's config")
+    if fitted is not None and bool(group_col_a) != fitted.grouped:
+        # a grouped query side against an ungrouped fit (or vice versa)
+        # would equi-join mismatched GROUP_COL values and silently emit
+        # nothing / cross-group garbage
+        raise ValueError(
+            "group mismatch: the query side "
+            f"{'uses' if group_col_a else 'has no'} blocking group but the "
+            f"FittedMaster was fitted "
+            f"{'with' if fitted.grouped else 'without'} one; refit with a "
+            "matching group_col_b")
     if checkpoint:
         # fold the resolved config into stage identity: resuming the same
         # root with a different MatchConfig must recompute, not serve

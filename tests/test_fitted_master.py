@@ -44,6 +44,26 @@ def test_fitted_equals_unfitted(spark, cfg):
     fitted.unpersist()
 
 
+def test_fitted_grouped_matching(spark):
+    """Group-blocked matching through a grouped fit equals the direct
+    grouped run; a group-arity mismatch between fit and call raises
+    instead of silently joining mismatched GROUP_COL values."""
+    m, q = _corpus(spark)
+    m_g = m.withColumn("blk", (F.col("id") % 2).cast("string"))
+    q_g = q.withColumn("blk", (F.col("id") % 2).cast("string"))
+    cfg = MatchConfig(threshold=50.0, top_n=5)
+    direct = match_names(spark, q_g, m_g, "id", "name", "id", "name",
+                         group_col_a="blk", group_col_b="blk", config=cfg)
+    fitted = fit_master(m_g, "id", "name", group_col_b="blk", config=cfg)
+    via_fit = match_names(spark, q_g, None, "id", "name",
+                          group_col_a="blk", config=cfg, fitted=fitted)
+    assert _rows(direct) == _rows(via_fit)
+    with pytest.raises(ValueError, match="group mismatch"):
+        match_names(spark, q, None, "id", "name", config=cfg,
+                    fitted=fitted)
+    fitted.unpersist()
+
+
 def test_fitted_rejects_mismatched_config(spark):
     m, q = _corpus(spark)
     fitted = fit_master(m, "id", "name",
