@@ -278,7 +278,11 @@ def fit_master(
     without rescanning the master table at all (asserted in
     tests/test_fitted_master.py)."""
     if checkpoint is not None:
-        checkpoint = checkpoint.scoped("fit_" + _fit_fingerprint(config))
+        # group_col_b is part of the fit's identity too: the same config
+        # fitted under a different blocking group produces different
+        # tables and must not be served from the other's checkpoint
+        checkpoint = checkpoint.scoped(
+            f"fit_{_fit_fingerprint(config)}_g={group_col_b}")
     persisted: list[DataFrame] = []
 
     def _p(stage: str, compute) -> DataFrame:
