@@ -43,6 +43,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from pyspark.errors import AnalysisException
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -159,10 +161,14 @@ def main(argv=None):
         out.write.mode("overwrite").parquet(args.output)
     try:
         n = spark.read.parquet(args.output).count()
-    except Exception:
+    except AnalysisException as e:
         # streaming mode with zero micro-batches/matches never creates the
-        # output path; that's a successful empty run, not a crash
-        if not args.stream_pages_a:
+        # output path; that's a successful empty run, not a crash.  Only
+        # the missing-path case qualifies -- corrupt output, permission
+        # failures, etc. must surface.
+        missing = ("PATH_NOT_FOUND" in str(e)
+                   or "Path does not exist" in str(e))
+        if not (args.stream_pages_a and missing):
             raise
         n = 0
     print(f"wrote {n} rows to {args.output}")

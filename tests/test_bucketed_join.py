@@ -6,16 +6,34 @@ the 100 TB plan (fit master once, write bucketed, query runs join
 shuffle-free).
 """
 
+import shutil
+from urllib.parse import urlparse
+
 import pytest
 from pyspark.sql import functions as F
 
 from name_matching_spark.sources.bucketed import read_table, write_bucketed
 
 
+def _drop_table_and_location(spark, name: str) -> None:
+    """``DROP TABLE IF EXISTS`` plus deleting the managed-table LOCATION.
+
+    A fresh session's in-memory catalog doesn't know tables a previous
+    session created, so the DROP is a no-op while the on-disk
+    ``spark-warehouse/<name>`` directory survives -- ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS.  Clearing the path directly makes
+    the fixture independent of prior-session state."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 @pytest.fixture()
 def bucketed_weights(spark, tmp_path):
     # spark.sql.warehouse.dir is a static conf (set at session build); the
-    # shared test session uses its default -- tables are dropped on exit
+    # shared test session uses its default -- tables (and their on-disk
+    # locations, which a new session's catalog can't see) are cleared in
+    # both setup and teardown
     m = spark.range(500).select(
         F.concat(F.lit("g"), (F.col("id") % 40)).alias("ngram"),
         F.col("id").alias("mid"),
@@ -24,13 +42,13 @@ def bucketed_weights(spark, tmp_path):
         F.concat(F.lit("g"), (F.col("id") % 40)).alias("ngram"),
         (F.col("id") + 10_000).alias("qid"),
         (F.col("id") % 89 / 89.0).alias("wq"))
-    spark.sql("DROP TABLE IF EXISTS m_weights_b")
-    spark.sql("DROP TABLE IF EXISTS q_weights_b")
+    _drop_table_and_location(spark, "m_weights_b")
+    _drop_table_and_location(spark, "q_weights_b")
     write_bucketed(m, "m_weights_b", ["ngram"], buckets=8)
     write_bucketed(q, "q_weights_b", ["ngram"], buckets=8)
     yield "m_weights_b", "q_weights_b"
-    spark.sql("DROP TABLE IF EXISTS m_weights_b")
-    spark.sql("DROP TABLE IF EXISTS q_weights_b")
+    _drop_table_and_location(spark, "m_weights_b")
+    _drop_table_and_location(spark, "q_weights_b")
 
 
 def test_bucketed_join_has_no_exchange(spark, bucketed_weights):
