@@ -250,7 +250,11 @@ def score_batch(a_strs: list[str], b_strs: list[str],
         if cache is not None:
             if len(cache) + len(miss_keys) > _PAIR_CACHE_MAX:
                 cache.clear()
-            for k, row in zip(miss_keys, scored):
+            # insert only up to the cap: one batch with more unique pairs
+            # than the whole cap (reachable via a small NM_PAIR_CACHE_MAX)
+            # must not leave the cache above it after the clear
+            room = _PAIR_CACHE_MAX - len(cache)
+            for k, row in zip(miss_keys[:room], scored):
                 cache[k] = row
     return out_u[inv]
 

@@ -115,7 +115,12 @@ def lsh_bucket_topk(
     dedup run over (id, bucket) KEY tables only -- the dim-sized vectors
     are joined back per surviving candidate pair afterwards, so neither
     the bucket-join shuffle nor the distinct exchange carries arrays
-    (~dim x smaller exchanges at embedding-corpus scale).
+    (~dim x smaller exchanges at embedding-corpus scale).  Ids are
+    expected unique per side; duplicated id rows are deduped (arbitrary
+    survivor) on the JOIN-BACK sides only, so they cannot multiply
+    candidate rows -- the dedup keys the same column that join shuffles
+    on (partitioning is reused: one extra HashAggregate, no extra
+    Exchange), and the narrow bucket-explode path stays shuffle-free.
     """
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
@@ -132,7 +137,8 @@ def lsh_bucket_topk(
     cand_keys = (v_b.join(q_b, "bucket")
                  .select("qid", "vec_id").distinct())
     cand = (
-        cand_keys.join(q, "qid").join(v, "vec_id")
+        cand_keys.join(q.dropDuplicates(["qid"]), "qid")
+        .join(v.dropDuplicates(["vec_id"]), "vec_id")
         .withColumn("cosine", _cosine(F.col("qv"), F.col("v")))
     )
     if round_decimals is not None:
@@ -250,6 +256,11 @@ def embedding_near_dups_lsh(
     knob, off by default so results stay exactly the uncapped semantics.
     A pair sharing any OTHER table's (un-hot) bucket still surfaces,
     which is exactly the multi-table redundancy's job.
+
+    Ids are expected unique; duplicated id rows are deduped (arbitrary
+    survivor) on the join-back sides so they cannot multiply candidate
+    rows (dup (id, bucket) rows on the bucket path are already absorbed
+    by the cand_keys distinct).
     """
     v = vectors.select(F.col(id_col).alias("id"),
                        _as_double_array(F.col(vec_col)).alias("v"))
@@ -274,12 +285,13 @@ def embedding_near_dups_lsh(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
+    v_uniq = v.dropDuplicates(["id"])
     cand = (
         cand_keys
-        .join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
-              "id_a")
-        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
-              "id_b")
+        .join(v_uniq.select(F.col("id").alias("id_a"),
+                            F.col("v").alias("va")), "id_a")
+        .join(v_uniq.select(F.col("id").alias("id_b"),
+                            F.col("v").alias("vb")), "id_b")
         .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
     )
     if round_decimals is not None:

@@ -142,6 +142,7 @@ def _prepare_udf(cfg: PreprocessConfig, case_sensitive: bool = False,
 
 PREPARED_COLS = ("id", GROUP_COL, "name_raw", "name_light", "name_norm")
 _PREP_FP_KEY = "nm_prep_fp"
+_PREP_GROUP_KEY = "nm_prep_group"
 
 
 def _prep_fingerprint(config: "MatchConfig") -> str:
@@ -168,11 +169,19 @@ def _prepare(df: DataFrame, id_col: str, name_col: str,
     ``name_norm`` column metadata, NOT on column-name coincidence: a table
     prepared under a different PreprocessConfig (or a user table that
     happens to carry the five column names) falls through and is
-    re-normalized from ``id_col``/``name_col`` as requested."""
+    re-normalized from ``id_col``/``name_col`` as requested.  The marker
+    also records the GROUP identity (the source column folded into
+    ``__group``, or "" when prepared ungrouped): a table prepared
+    ungrouped passed back with ``group_col='blk'`` (or prepared under a
+    different group column) must NOT be accepted as-is -- its ``__group``
+    values would silently mismatch the other side's in every downstream
+    equi-join -- so it falls through and is re-prepared with the
+    requested group column."""
     fp = _prep_fingerprint(config)
     if set(PREPARED_COLS) <= set(df.columns):
         meta = df.schema["name_norm"].metadata
-        if meta.get(_PREP_FP_KEY) == fp:
+        if (meta.get(_PREP_FP_KEY) == fp
+                and meta.get(_PREP_GROUP_KEY) == (group_col or "")):
             return df.select(*PREPARED_COLS)
     out = with_group(
         df.select(F.col(id_col).alias("id"),
@@ -189,7 +198,9 @@ def _prepare(df: DataFrame, id_col: str, name_col: str,
     return out.select("id", GROUP_COL, "name_raw",
                       F.col("__prep.name_light").alias("name_light"),
                       F.col("__prep.name_norm").alias(
-                          "name_norm", metadata={_PREP_FP_KEY: fp}))
+                          "name_norm", metadata={
+                              _PREP_FP_KEY: fp,
+                              _PREP_GROUP_KEY: group_col or ""}))
 
 
 def _fit_fingerprint(config: "MatchConfig") -> str:
@@ -248,6 +259,7 @@ class FittedMaster:
     m_map: DataFrame | None       # weight-vector maps (prefix path only)
     fit_fp: str                   # _fit_fingerprint of the fitting config
     grouped: bool = False         # fitted with a blocking-group column?
+    group_col: str | None = None  # the fitting group column's NAME
     _persisted: tuple = ()
 
     def unpersist(self) -> None:
@@ -324,6 +336,7 @@ def fit_master(
                         prefix_size=prefix_size, m_pref=m_pref, m_map=m_map,
                         fit_fp=_fit_fingerprint(config),
                         grouped=group_col_b is not None,
+                        group_col=group_col_b,
                         _persisted=tuple(persisted))
 
 
@@ -366,6 +379,20 @@ def match_names(
             f"FittedMaster was fitted "
             f"{'with' if fitted.grouped else 'without'} one; refit with a "
             "matching group_col_b")
+    if (fitted is not None and group_col_a and fitted.group_col
+            and group_col_a != fitted.group_col):
+        # best-effort name guard: what must align is the group VALUES,
+        # but a master fitted on 'country' queried with 'state' is
+        # near-certainly a caller bug that would equi-join mismatched
+        # values and silently drop matches.  Same-name different-values
+        # remains the caller's contract.
+        raise ValueError(
+            f"group mismatch: FittedMaster was fitted with group_col_b="
+            f"{fitted.group_col!r} but match_names was called with "
+            f"group_col_a={group_col_a!r}; group values must align, so "
+            "differing column names almost certainly mean a wrong fit -- "
+            "refit, or rename the query column if the values really do "
+            "share the master's domain")
     if checkpoint:
         # fold the resolved config into stage identity: resuming the same
         # root with a different MatchConfig must recompute, not serve

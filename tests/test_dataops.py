@@ -221,6 +221,39 @@ def test_embedding_near_dups_lsh_plan_and_hot_bucket_cap(spark):
     assert not any(a < 40 and b < 40 for a, b in pairs)
 
 
+def test_ann_lsh_duplicate_ids_do_not_multiply(spark):
+    """ADVICE r4: the id-keyed candidate dedup + vector join-back must not
+    let duplicated id rows multiply candidates -- results equal the
+    deduped-input run exactly (top-k ranks AND near-dup pair set)."""
+    import random
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    dup = df.union(df.filter(F.col("vec_id") < 10))   # 10 ids twice
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    q_dup = q.union(q.filter(F.col("qid") < 2))
+
+    clean = sorted((r["qid"], r["vec_id"], r["rank"]) for r in
+                   ann.lsh_bucket_topk(df, q, k=3, dim=16, num_planes=4,
+                                       num_tables=6).collect())
+    dirty = sorted((r["qid"], r["vec_id"], r["rank"]) for r in
+                   ann.lsh_bucket_topk(dup, q_dup, k=3, dim=16,
+                                       num_planes=4,
+                                       num_tables=6).collect())
+    assert dirty == clean
+
+    nd_clean = sorted((r["id_a"], r["id_b"]) for r in
+                      ann.embedding_near_dups_lsh(
+                          df, min_cosine=0.9, dim=16, num_planes=3,
+                          num_tables=8).collect())
+    nd_dirty = sorted((r["id_a"], r["id_b"]) for r in
+                      ann.embedding_near_dups_lsh(
+                          dup, min_cosine=0.9, dim=16, num_planes=3,
+                          num_tables=8).collect())
+    assert nd_dirty == nd_clean
+
+
 def test_ivf_kmeans_centroids(spark):
     import random
     rng = random.Random(8)

@@ -61,6 +61,13 @@ def test_fitted_grouped_matching(spark):
     with pytest.raises(ValueError, match="group mismatch"):
         match_names(spark, q, None, "id", "name", config=cfg,
                     fitted=fitted)
+    # ADVICE r4: same ARITY but a different group column NAME must raise
+    # too -- 'blk' values against a fit on another column near-certainly
+    # equi-join mismatched domains and silently drop matches
+    q_other = q_g.withColumnRenamed("blk", "region")
+    with pytest.raises(ValueError, match="group mismatch"):
+        match_names(spark, q_other, None, "id", "name",
+                    group_col_a="region", config=cfg, fitted=fitted)
     fitted.unpersist()
 
 
@@ -152,3 +159,52 @@ def test_prepare_fast_path_gated_on_config_fingerprint(spark):
     fixed = _prepare(fake, "id", "name_raw", None, cfg_default)
     assert fixed.select("name_norm").first()[0] == \
         prepped_default.select("name_norm").first()[0]
+
+
+def test_prepare_fast_path_gated_on_group_identity(spark):
+    """ADVICE r4 (medium): the fast path must include the GROUP identity,
+    not just the preprocess config -- a table prepared ungrouped carries a
+    constant dummy ``__group``, so accepting it as-is under
+    ``group_col='blk'`` would silently equi-join mismatched group values
+    downstream.  Re-preparation must fold the requested column in."""
+    m, _ = _corpus(spark)
+    m_g = m.withColumn("blk", (F.col("id") % 2).cast("string"))
+    cfg = MatchConfig()
+
+    prepped_ungrouped = _prepare(m_g, "id", "name", None, cfg)
+    assert set(r["__group"] for r in
+               prepped_ungrouped.select("__group").distinct().collect()) \
+        == {""}
+
+    # marker present but prepared UNGROUPED -> requesting a group must
+    # fall through and re-prepare (the input still carries 'blk')
+    reprep = _prepare(prepped_ungrouped.join(m_g.select("id", "blk"), "id"),
+                      "id", "name_raw", "blk", cfg)
+    assert set(r["__group"] for r in
+               reprep.select("__group").distinct().collect()) == {"0", "1"}
+
+    # prepared grouped under the SAME column -> fast path fires (no
+    # re-run; plan output identical incl. group values)
+    prepped_grouped = _prepare(m_g, "id", "name", "blk", cfg)
+    again = _prepare(prepped_grouped, "id", "name_raw", "blk", cfg)
+    assert sorted((r["id"], r["__group"]) for r in
+                  again.select("id", "__group").collect()) == \
+        sorted((r["id"], r["__group"]) for r in
+               prepped_grouped.select("id", "__group").collect())
+
+    # prepared grouped, requested ungrouped -> falls through, dummy group
+    back = _prepare(prepped_grouped, "id", "name_raw", None, cfg)
+    assert set(r["__group"] for r in
+               back.select("__group").distinct().collect()) == {""}
+
+    # end-to-end shape of the original report: ungrouped-prepared table
+    # into fit_master(group_col_b='blk') now fits a genuinely grouped
+    # master instead of a dummy-group one
+    fitted = fit_master(prepped_ungrouped.join(m_g.select("id", "blk"),
+                                               "id"),
+                        "id", "name_raw", group_col_b="blk", config=cfg,
+                        persist=False)
+    assert fitted.grouped and fitted.group_col == "blk"
+    assert set(r["__group"] for r in
+               fitted.masters.select("__group").distinct().collect()) \
+        == {"0", "1"}

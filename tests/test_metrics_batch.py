@@ -155,8 +155,10 @@ def test_cross_batch_pair_cache_bit_identical():
                              [p[1] for p in mixed_pairs], M.DEFAULT_METRICS)
     np.testing.assert_array_equal(mixed, nocache)
 
-    # overflow: cap smaller than the unique-pair count -> cache clears and
-    # refills, values unaffected
+    # overflow: cap smaller than the unique-pair count -> cache clears,
+    # refills only UP TO the cap (ADVICE r4: a single batch with more
+    # unique pairs than the whole cap must not leave the cache above it),
+    # values unaffected
     old_max = MB._PAIR_CACHE_MAX
     try:
         MB._PAIR_CACHE_MAX = 8
@@ -164,7 +166,9 @@ def test_cross_batch_pair_cache_bit_identical():
         again = MB.score_batch(a, b, M.DEFAULT_METRICS)
         np.testing.assert_array_equal(again, cold)
         assert len(MB._PAIR_CACHE[tuple(
-            MB.flat_metric_columns(M.DEFAULT_METRICS))]) <= len(base)
+            MB.flat_metric_columns(M.DEFAULT_METRICS))]) <= 8
+        rewarm = MB.score_batch(a, b, M.DEFAULT_METRICS)
+        np.testing.assert_array_equal(rewarm, cold)
     finally:
         MB._PAIR_CACHE_MAX = old_max
         MB._PAIR_CACHE.clear()
