@@ -1346,8 +1346,30 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/cluster_pages_40.parquet')
         """,
         "optimiser_predict": """
-            SELECT qid, mid, label, match_prob FROM read_parquet(
-                '/root/repo/expected/optimiser_predict_sf001.parquet')
+            -- regression pin PLUS an accuracy floor: the pin was
+            -- materialized by the same fit->predict path it gates, so by
+            -- itself it could pin a wrong-from-day-one fit.  The floor
+            -- (>=95% of per-query argmax predictions must carry label 1)
+            -- empties the oracle -- forcing a row-count mismatch against
+            -- the Spark side -- if a regenerated pin ever encodes a fit
+            -- whose predictions stopped agreeing with the fixture labels.
+            WITH p AS (
+                SELECT qid, mid, label, match_prob FROM read_parquet(
+                    '/root/repo/expected/optimiser_predict_sf001.parquet')
+            ),
+            top AS (
+                SELECT label,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY match_prob DESC,
+                                                   mid ASC) AS rn
+                FROM p
+            ),
+            acc AS (
+                SELECT avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS a
+                FROM top WHERE rn = 1
+            )
+            SELECT qid, mid, label, match_prob FROM p
+            WHERE (SELECT a FROM acc) >= 0.95
         """,
         "simhash_docs": _simhash_sql("SELECT doc_id, text FROM documents"),
         "simhash_pairs": _simhash_pairs_sql(),

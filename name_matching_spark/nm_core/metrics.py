@@ -89,13 +89,28 @@ def _lcs_len(src: str, tar: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def sim_levenshtein(src: str, tar: str) -> float:
+def sim_levenshtein(src: str, tar: str, mode: str = "lev",
+                    cost: tuple = (1, 1, 1, 1)) -> float:
+    """Normalized Levenshtein similarity with the reference's full option
+    surface (distances/_levenshtein.py:128-166,325-383): ``mode`` 'lev' or
+    'osa', ``cost`` = (ins, del, sub, trans).  The normalizer is the
+    published one -- max(len(src)*del_cost, len(tar)*ins_cost) -- which
+    reduces to max(len) at unit costs, so the default path is bit-identical
+    to the costless fast kernel."""
     if src == tar:
         return 1.0
-    denom = max(len(src), len(tar))
+    cost = tuple(cost)
+    if mode == "lev" and cost[:3] == (1, 1, 1):
+        denom = max(len(src), len(tar))
+        if denom == 0:
+            return 1.0
+        return 1.0 - _lev_dist_abs(src, tar) / denom
+    ins_c, del_c = cost[0], cost[1]
+    denom = max(len(src) * del_c, len(tar) * ins_c)
     if denom == 0:
         return 1.0
-    return 1.0 - _lev_dist_abs(src, tar) / denom
+    return 1.0 - levenshtein_dist_abs(src, tar, mode=mode,
+                                      cost=cost) / denom
 
 
 def levenshtein_alignment(
@@ -1034,29 +1049,119 @@ DEFAULT_METRICS = (
 )
 
 
-def make_metric_registry(metrics=DEFAULT_METRICS) -> dict[str, list]:
-    """Group -> [sim functions], in reference registry order.
+def _freeze_kwargs(v) -> tuple:
+    """dict -> canonical hashable (key, value) tuple; lists become tuples
+    so cost vectors etc. survive hashing/serialization unchanged."""
+    def _fz(x):
+        return tuple(_fz(e) for e in x) if isinstance(x, (list, tuple)) \
+            else x
+    return tuple(sorted((str(k), _fz(val)) for k, val in v.items()))
 
-    Accepts an iterable of metric names (case-insensitive).  Raises on
-    unknown names, like the reference's TypeError path.
-    """
-    wanted = {str(m).lower() for m in metrics}
-    unknown = wanted - set(METRIC_FUNCTIONS) - set(UNIMPLEMENTED_METRICS)
+
+def normalize_metric_spec(metrics=DEFAULT_METRICS) -> tuple:
+    """Canonical hashable form of a ``metrics`` argument:
+    ``((name, kwargs_items), ...)``.
+
+    Mirrors the reference registry's per-metric ``bool | dict`` surface
+    (distance_metrics.py:258-430, each metric kwarg feeds the metric's
+    constructor): accepts an iterable of names (default parameters), a
+    mapping ``{name: True | False | dict}`` (False/None excludes, dict
+    supplies per-metric kwargs threaded into the sim function), or an
+    already-normalized spec (idempotent).  The result is the single
+    identity used registry-wide -- including the cross-batch pair-cache
+    key -- so a customized variant can never serve a default variant's
+    rows or vice versa."""
+    import collections.abc as _abc
+
+    if isinstance(metrics, _abc.Mapping):
+        items = []
+        for name, v in metrics.items():
+            if v is False or v is None:
+                continue
+            kw = (_freeze_kwargs(v) if isinstance(v, _abc.Mapping)
+                  else ())
+            items.append((str(name).lower(), kw))
+        return tuple(items)
+    out = []
+    for m in metrics:
+        if (isinstance(m, tuple) and len(m) == 2
+                and isinstance(m[1], tuple)):
+            out.append((str(m[0]).lower(), m[1]))
+        else:
+            out.append((str(m).lower(), ()))
+    return tuple(out)
+
+
+def _spec_dict(metrics) -> dict:
+    """Validated {name: kwargs_items} from any metrics form."""
+    spec = dict(normalize_metric_spec(metrics))
+    unknown = set(spec) - set(METRIC_FUNCTIONS) - set(UNIMPLEMENTED_METRICS)
     if unknown:
         raise TypeError(f"Unknown distance metrics: {sorted(unknown)}")
-    missing = wanted & set(UNIMPLEMENTED_METRICS)
+    missing = set(spec) & set(UNIMPLEMENTED_METRICS)
     if missing:
         raise NotImplementedError(
             f"Metrics not yet ported: {sorted(missing)}")
+    import inspect
+    for name, kw in spec.items():
+        if kw:
+            params = inspect.signature(METRIC_FUNCTIONS[name]).parameters
+            bad = [k for k, _ in kw if k not in params]
+            if bad:
+                ok = [p for p in params if p not in ("src", "tar")]
+                raise TypeError(
+                    f"metric {name!r} does not accept kwargs {bad}; "
+                    f"supported: {ok}")
+    return spec
+
+
+def metric_variant_label(name: str, kwargs_items: tuple) -> str:
+    """Stable per-variant column label: the bare name for defaults, the
+    name plus canonical kwargs otherwise -- distinct variants get distinct
+    score-matrix columns and distinct pair-cache namespaces."""
+    if not kwargs_items:
+        return name
+    return name + "[" + ",".join(f"{k}={v!r}" for k, v in kwargs_items) \
+        + "]"
+
+
+def flat_metric_variants(metrics=DEFAULT_METRICS) -> list[tuple]:
+    """[(name, kwargs_items, label), ...] in score-matrix column order
+    (registry group first-insertion order, reference if-chain order
+    within)."""
+    spec = _spec_dict(metrics)
+    groups: dict[str, list] = {}
+    for name, group, _fn in _METRIC_TABLE:
+        if name in spec:
+            kw = spec[name]
+            groups.setdefault(group, []).append(
+                (name, kw, metric_variant_label(name, kw)))
+    return [v for vs in groups.values() for v in vs]
+
+
+def make_metric_registry(metrics=DEFAULT_METRICS) -> dict[str, list]:
+    """Group -> [sim callables], in reference registry order.
+
+    Accepts an iterable of metric names (case-insensitive), or the
+    reference's mapping form with per-metric kwargs dicts
+    (``normalize_metric_spec``): kwargs entries become closures over the
+    same sim function with the kwargs bound.  Raises on unknown names,
+    like the reference's TypeError path, and on kwargs the sim function
+    does not accept."""
+    import functools
+
+    spec = _spec_dict(metrics)
     registry: dict[str, list] = {}
     for name, group, fn in _METRIC_TABLE:
-        if name in wanted:
-            registry.setdefault(group, []).append(fn)
+        if name in spec:
+            kw = spec[name]
+            registry.setdefault(group, []).append(
+                functools.partial(fn, **dict(kw)) if kw else fn)
     return registry
 
 
 def flat_metric_fns(metrics=DEFAULT_METRICS) -> list:
-    """Flattened metric functions in score-matrix column order."""
+    """Flattened metric callables in score-matrix column order."""
     registry = make_metric_registry(metrics)
     return [fn for fns in registry.values() for fn in fns]
 

@@ -31,7 +31,7 @@ from .metrics import (
     METRIC_FUNCTIONS,
     _EDITEX_MASK,
     _editex_prep,
-    make_metric_registry,
+    flat_metric_variants,
 )
 
 # strings above this length are routed to the scalar fallback: it keeps
@@ -183,10 +183,12 @@ BATCH_KERNELS = {
 
 
 def flat_metric_columns(metrics) -> list[str]:
-    """Metric names in score-matrix column order (registry group order)."""
-    registry = make_metric_registry(metrics)
-    rev = {id(fn): name for name, fn in METRIC_FUNCTIONS.items()}
-    return [rev[id(fn)] for fns in registry.values() for fn in fns]
+    """Per-variant labels in score-matrix column order (registry group
+    order).  A default-parameter metric's label is its bare name; a
+    kwargs variant's label folds the frozen kwargs in
+    (``metric_variant_label``), so distinct variants key distinct
+    pair-cache namespaces and never serve each other's rows."""
+    return [label for _, _, label in flat_metric_variants(metrics)]
 
 
 # cross-batch pair-score cache, one dict per metric tuple, living in the
@@ -219,7 +221,10 @@ def score_batch(a_strs: list[str], b_strs: list[str],
     by construction -- the same functions run on the same strings -- and
     the dict passes are O(B) string hashing, noise next to the
     ~10^2 us/pair kernel."""
-    names = flat_metric_columns(metrics)
+    variants = flat_metric_variants(metrics)
+    names = [label for _, _, label in variants]
+    # labels fold frozen kwargs in, so a customized variant's cache can
+    # never serve the default variant's rows (or another customization's)
     cache = (_PAIR_CACHE.setdefault(tuple(names), {})
              if _PAIR_CACHE_MAX > 0 else None)
     B = len(a_strs)
@@ -245,7 +250,7 @@ def score_batch(a_strs: list[str], b_strs: list[str],
             miss_pos.append(u)
     if miss_keys:
         scored = _score_unique([k[0] for k in miss_keys],
-                               [k[1] for k in miss_keys], names)
+                               [k[1] for k in miss_keys], variants)
         out_u[miss_pos] = scored
         if cache is not None:
             if len(cache) + len(miss_keys) > _PAIR_CACHE_MAX:
@@ -260,13 +265,18 @@ def score_batch(a_strs: list[str], b_strs: list[str],
 
 
 def _score_unique(a_strs: list[str], b_strs: list[str],
-                  names: list[str]) -> np.ndarray:
-    out = np.empty((len(a_strs), len(names)), np.float64)
-    for c, name in enumerate(names):
-        kern = BATCH_KERNELS.get(name)
+                  variants: list[tuple]) -> np.ndarray:
+    """variants: [(name, kwargs_items, label)].  Batch kernels implement
+    the DEFAULT parameters only, so kwargs variants always take the
+    scalar function with the kwargs bound."""
+    out = np.empty((len(a_strs), len(variants)), np.float64)
+    for c, (name, kw, _label) in enumerate(variants):
+        kern = BATCH_KERNELS.get(name) if not kw else None
         if kern is not None:
             out[:, c] = kern(a_strs, b_strs)
         else:
             fn = METRIC_FUNCTIONS[name]
-            out[:, c] = [fn(a, b) for a, b in zip(a_strs, b_strs)]
+            kwargs = dict(kw)
+            out[:, c] = [fn(a, b, **kwargs)
+                         for a, b in zip(a_strs, b_strs)]
     return out

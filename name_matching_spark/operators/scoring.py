@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from ..nm_core.metrics import DEFAULT_METRICS
+from ..nm_core.metrics import DEFAULT_METRICS, normalize_metric_spec
 from .tfidf import GROUP_COL
 
 
@@ -28,8 +28,13 @@ def score_pairs_udf(metrics=DEFAULT_METRICS):
     The kernel is nm_core.metrics_batch.score_batch: numpy-vectorized
     where a batch kernel exists (editex -- the DP half of the default
     ensemble's cost), scalar metric functions elsewhere; values are
-    bit-identical to the scalar oracle either way."""
-    metric_names = tuple(metrics)
+    bit-identical to the scalar oracle either way.
+
+    ``metrics`` accepts names or the reference's per-metric kwargs
+    mapping (metrics.normalize_metric_spec); the spec is normalized HERE,
+    driver-side, so what ships to the workers is the canonical hashable
+    form and every worker keys its pair cache identically."""
+    metric_names = normalize_metric_spec(metrics)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _score(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
@@ -48,7 +53,7 @@ def score_mean_udf(metrics=DEFAULT_METRICS):
     (name_matcher.py:898).  Use score_pairs_udf when the per-metric vector
     is needed (optimiser features, return_algorithms_score parity).
     """
-    metric_names = tuple(metrics)
+    metric_names = normalize_metric_spec(metrics)
 
     @F.pandas_udf(DoubleType())
     def _score(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
