@@ -213,28 +213,40 @@ def _fit_fingerprint(config: "MatchConfig") -> str:
         config.auto_prefix_threshold, config.auto_prefix_size))
 
 
-def _resolve_prefix_size(config: "MatchConfig",
-                         doc_counts: DataFrame) -> int | None:
-    """Auto plan choice: the exact inverted-index join's output is
-    Sum_g df_q(g)*df_m(g) -- fine for small blocks, quadratic in hot
-    n-grams beyond ~10^4 docs per block.  Above the threshold, switch
-    to the near-linear prefix-filtered blocker.  The probe is one agg
-    over the (tiny, per-group) doc-count table.
+def _resolve_plan(config: "MatchConfig",
+                  doc_counts: DataFrame) -> tuple[int | None,
+                                                  DataFrame | None]:
+    """Auto plan choice -> (prefix_size, big_groups).
 
-    The probe is PER-RUN, not per-group: max(n_docs) over groups picks
-    one global plan.  A corpus with one huge block among thousands of
-    tiny ones routes everything through the prefix path -- safe, since
-    the prefix blocker is correct (and near-decision-identical) on
-    every block size, just unnecessary overhead for the tiny ones; the
-    reverse mistake (a huge block on the exact path) cannot happen
-    because max is the deciding statistic.  Grouped-skew behavior is
-    locked in tests/test_group_matching.py."""
+    The exact inverted-index join's output is Sum_g df_q(g)*df_m(g) --
+    fine for small blocks, quadratic in hot n-grams beyond ~10^4 docs
+    per block.  Above the threshold, switch to the near-linear
+    prefix-filtered blocker.  The probes are two tiny aggs over the
+    (per-group) doc-count table, which the fit path persists anyway.
+
+    Routing is PER-GROUP on grouped corpora: ``big_groups`` (non-None
+    only when blocks land on BOTH sides of the threshold) lists the
+    groups whose block size exceeds it -- those route through the prefix
+    blocker, every other group keeps the exact join, and the candidate
+    sets union.  Each query belongs to exactly one group, so per-qid
+    top-n semantics are unaffected.  A corpus with one huge block among
+    thousands of tiny ones therefore no longer pays prefix overhead on
+    the tiny ones (r4 verdict item).  When every block is on one side
+    (incl. the ungrouped single-block case) the plan stays global -- no
+    routing joins in the common case.  An explicit ``prefix_size``
+    forces the prefix path globally, as before.  Grouped-skew behavior
+    is locked in tests/test_group_matching.py."""
     if config.prefix_size is not None:
-        return config.prefix_size
+        return config.prefix_size, None
+    thr = config.auto_prefix_threshold
     max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0
-    if max_block > config.auto_prefix_threshold:
-        return config.auto_prefix_size
-    return None
+    if max_block <= thr:
+        return None, None
+    small = doc_counts.filter(F.col("n_docs") <= thr)
+    if small.limit(1).count() == 0:
+        return config.auto_prefix_size, None
+    big = doc_counts.filter(F.col("n_docs") > thr).select(GROUP_COL)
+    return config.auto_prefix_size, big
 
 
 @dataclass
@@ -260,6 +272,7 @@ class FittedMaster:
     fit_fp: str                   # _fit_fingerprint of the fitting config
     grouped: bool = False         # fitted with a blocking-group column?
     group_col: str | None = None  # the fitting group column's NAME
+    big_groups: DataFrame | None = None   # per-group routing (None=global)
     _persisted: tuple = ()
 
     def unpersist(self) -> None:
@@ -324,19 +337,31 @@ def fit_master(
         return m_w
 
     m_w = _p("master_weights", _mw)
-    prefix_size = _resolve_prefix_size(config, doc_counts)
+    prefix_size, big_groups = _resolve_plan(config, doc_counts)
     m_pref = m_map = None
     if prefix_size is not None:
         from .operators.blocking import rare_prefix_postings, weights_as_map
+        if big_groups is not None:
+            # routed plan: prefix artifacts cover the big groups only --
+            # small groups serve from the exact join, so their postings
+            # and maps would be dead weight in the persisted fit
+            _bg = big_groups
+            big_groups = _p("master_big_groups", lambda: _bg)
+            m_w_pref = m_w.join(F.broadcast(big_groups), GROUP_COL,
+                                "leftsemi")
+        else:
+            m_w_pref = m_w
         m_pref = _p("master_prefix_postings",
-                    lambda: rare_prefix_postings(m_w, idf, prefix_size))
+                    lambda: rare_prefix_postings(m_w_pref, idf,
+                                                 prefix_size))
         m_map = _p("master_weight_maps",
-                   lambda: weights_as_map(m_w, "mid", "mm"))
+                   lambda: weights_as_map(m_w_pref, "mid", "mm"))
     return FittedMaster(masters=b, doc_counts=doc_counts, idf=idf, m_w=m_w,
                         prefix_size=prefix_size, m_pref=m_pref, m_map=m_map,
                         fit_fp=_fit_fingerprint(config),
                         grouped=group_col_b is not None,
                         group_col=group_col_b,
+                        big_groups=big_groups,
                         _persisted=tuple(persisted))
 
 
@@ -450,28 +475,49 @@ def match_names(
     q_w = query_weights(q_tf, idf)
 
     def _candidates():
-        prefix_size = (fitted.prefix_size if fitted is not None
-                       else _resolve_prefix_size(config, doc_counts))
+        if fitted is not None:
+            prefix_size, big_groups = fitted.prefix_size, fitted.big_groups
+        else:
+            prefix_size, big_groups = _resolve_plan(config, doc_counts)
 
         # cosines are rounded to 9 decimals before ranking so candidate
         # order (and thus argmax tie-breaks between equal-scoring masters,
         # e.g. duplicate names) is independent of float summation order --
         # Spark's map-fold and the oracle's dense dot would otherwise break
         # exact ties by 1e-16 noise in opposite directions
-        def _gen(qw):
-            if prefix_size is not None:
-                from .operators.blocking import prefix_filtered_top_n
-                return prefix_filtered_top_n(
-                    qw, m_w, idf, config.top_n,
-                    prefix_size=prefix_size,
-                    df_cap_frac=config.df_cap_frac,
-                    round_decimals=9,
-                    master_pref=fitted.m_pref if fitted is not None else None,
-                    master_map=fitted.m_map if fitted is not None else None)
+        def _prefix(qw, mw):
+            from .operators.blocking import prefix_filtered_top_n
+            return prefix_filtered_top_n(
+                qw, mw, idf, config.top_n,
+                prefix_size=prefix_size,
+                df_cap_frac=config.df_cap_frac,
+                round_decimals=9,
+                master_pref=fitted.m_pref if fitted is not None else None,
+                master_map=fitted.m_map if fitted is not None else None)
+
+        def _exact(qw):
             return cosine_top_n(qw, m_w, config.top_n, idf=idf,
                                 df_cap_frac=config.df_cap_frac,
                                 round_decimals=9,
                                 master_capped=fitted is not None)
+
+        def _gen(qw):
+            if prefix_size is None:
+                return _exact(qw)
+            if big_groups is None:
+                return _prefix(qw, m_w)
+            # per-group routing: queries in over-threshold groups take the
+            # prefix blocker (postings restricted to those groups), the
+            # rest keep the exact join; one query = one group, so the
+            # union preserves per-qid top-n semantics.  big_groups is a
+            # per-group table (<= corpus/threshold rows), so the semi/anti
+            # routing joins broadcast instead of reshuffling the weights.
+            big_b = F.broadcast(big_groups)
+            qw_big = qw.join(big_b, GROUP_COL, "leftsemi")
+            qw_small = qw.join(big_b, GROUP_COL, "leftanti")
+            mw_big = (m_w.join(big_b, GROUP_COL, "leftsemi")
+                      if fitted is None else m_w)
+            return _prefix(qw_big, mw_big).unionByName(_exact(qw_small))
 
         cand = _gen(q_w)
         if config.preprocess_split:

@@ -109,6 +109,38 @@ def linkage_batch_processor(spark, fitted, id_col: str, name_col: str,
     return _process
 
 
+def _unpersist_on_termination(spark: SparkSession, query, fitted) -> None:
+    """Release a ``FittedMaster``'s persisted tables when ``query``
+    terminates (continuous / ``available_now=False`` mode, where there is
+    no in-function point after the stream ends).
+
+    The listener fires on the streaming-listener bus thread after
+    ``query.stop()`` (or a query error) and removes itself afterwards, so
+    a long-lived session doesn't accumulate one dead listener per
+    launched stream.  The persisted fit is bounded by the master-side
+    artifact size either way -- this is hygiene, not a leak cap."""
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Cleanup(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == qid:
+                fitted.unpersist()
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Cleanup())
+
+
 def stream_pages(spark: SparkSession, input_dir: str,
                  schema: str = PAGES_SCHEMA,
                  max_files_per_trigger: int | None = None) -> DataFrame:
@@ -156,6 +188,11 @@ def incremental_match(
     persisted + materialized); the micro-batch loop runs zero master-side
     jobs.  Returns the StreamingQuery (already terminated when
     available_now).
+
+    Fit lifecycle: with ``available_now`` the fit is unpersisted before
+    returning; on the continuous path a termination listener unpersists
+    it when the returned query stops (caller stops it or it errors) --
+    callers never own the fit's storage either way.
     """
     if config.preprocess_split or config.common_words:
         raise ValueError(
@@ -177,6 +214,7 @@ def incremental_match(
         fitted.unpersist()
     else:
         q = writer.start()
+        _unpersist_on_termination(spark, q, fitted)
     return q
 
 
@@ -197,7 +235,9 @@ def incremental_match_pages(
     The master side is extracted AND fully fitted once up front
     (``fit_master``; with ``fit_checkpoint`` the fit is durable across
     driver restarts); each micro-batch only prepares its own rows.  Sink
-    is idempotent per batch (exactly-once, see module docstring)."""
+    is idempotent per batch (exactly-once, see module docstring).  Fit
+    lifecycle as in ``incremental_match``: released on return
+    (available_now) or via a termination listener (continuous)."""
     from ..pipeline import extract_pages_names, fit_master
 
     if config.preprocess_split or config.common_words:
@@ -219,6 +259,7 @@ def incremental_match_pages(
         fitted.unpersist()
     else:
         q = writer.start()
+        _unpersist_on_termination(spark, q, fitted)
     return q
 
 

@@ -58,11 +58,13 @@ def test_no_cross_group_matches(grouped):
         assert country_a[a_id] == country_b[b_id]
 
 
-def test_grouped_skew_picks_prefix_globally_and_stays_correct(
+def test_grouped_skew_routes_per_group_and_stays_correct(
         spark, monkeypatch):
-    """One huge block + many tiny blocks: the per-run auto probe
-    (max(n_docs) over groups) must route ALL groups through the prefix
-    blocker, and the match decisions must equal the exact-blocker run."""
+    """One huge block + many tiny blocks: the auto probe must route the
+    over-threshold block through the prefix blocker and the tiny blocks
+    through the exact join IN ONE RUN (r4 verdict: the old global probe
+    sent thousands of tiny blocks through prefix overhead), and the
+    union's match decisions must equal the exact-blocker run."""
     import name_matching_spark.operators.blocking as blocking
     import name_matching_spark.pipeline as pl
 
@@ -106,9 +108,11 @@ def test_grouped_skew_picks_prefix_globally_and_stays_correct(
                              group_col_a="blk", group_col_b="blk",
                              config=cfg_auto).collect()
     }
-    assert calls == {"prefix": 1, "exact": 0}, calls
+    # BOTH paths active in one run: prefix for the hot block, exact join
+    # for the singleton blocks
+    assert calls == {"prefix": 1, "exact": 1}, calls
 
-    # control: threshold far above the hot block size -> exact path
+    # control: threshold far above the hot block size -> exact path only
     cfg_exact = MatchConfig(threshold=50.0, auto_prefix_threshold=10_000)
     want = {
         int(r["a_id"]): int(r["b_id"])
@@ -116,5 +120,51 @@ def test_grouped_skew_picks_prefix_globally_and_stays_correct(
                              group_col_a="blk", group_col_b="blk",
                              config=cfg_exact).collect()
     }
-    assert calls["exact"] == 1
+    assert calls == {"prefix": 1, "exact": 2}, calls
     assert got == want
+    # decisions from BOTH routed paths made it into the output
+    hot_ids = {r["id"] for r in adj if r["id"] % 4 != 0}
+    assert got.keys() & hot_ids
+    assert got.keys() - hot_ids
+
+
+def test_grouped_skew_routing_through_fitted_master(spark):
+    """fit_master on a skewed grouped corpus resolves the routed plan at
+    fit time (big_groups persisted; prefix artifacts restricted to the
+    big groups) and match_names(fitted=...) reproduces the direct run."""
+    from name_matching_spark.pipeline import fit_master
+
+    names = names_corpus(N)
+    adj = adjusted_names_corpus(N)
+
+    def blk(r):
+        return "hot" if r["id"] % 4 != 0 else f"tiny{r['id']}"
+    df_b = spark.createDataFrame(
+        [(r["id"], r["company_name"], blk(r)) for r in names],
+        "id long, name string, blk string")
+    df_a = spark.createDataFrame(
+        [(r["id"], r["company_name"], blk(r)) for r in adj],
+        "id long, name string, blk string")
+    cfg = MatchConfig(threshold=50.0, auto_prefix_threshold=20,
+                      auto_prefix_size=12)
+    direct = {
+        (int(r["a_id"]), int(r["b_id"]), round(float(r["score"]), 6))
+        for r in match_names(spark, df_a, df_b, "id", "name", "id", "name",
+                             group_col_a="blk", group_col_b="blk",
+                             config=cfg).collect()
+    }
+    fitted = fit_master(df_b, "id", "name", group_col_b="blk", config=cfg)
+    assert fitted.big_groups is not None
+    assert [r["__group"] for r in fitted.big_groups.collect()] == ["hot"]
+    # prefix artifacts cover the big groups only
+    assert set(r["__group"] for r in
+               fitted.m_pref.select("__group").distinct().collect()) \
+        == {"hot"}
+    via_fit = {
+        (int(r["a_id"]), int(r["b_id"]), round(float(r["score"]), 6))
+        for r in match_names(spark, df_a, None, "id", "name",
+                             group_col_a="blk", config=cfg,
+                             fitted=fitted).collect()
+    }
+    assert via_fit == direct
+    fitted.unpersist()
