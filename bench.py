@@ -82,7 +82,16 @@ def headline(spark) -> tuple[dict, dict]:
         trial exists yet -- or, for contention-canary queries with a
         documented clean ``anchor``, when the best clean trial is
         still >2x the anchor -- wait out the burst (bounded) and
-        remeasure, up to 3 extra attempts."""
+        remeasure, up to 3 extra attempts.
+
+        The RECORDED time is min over ALL trials, clean or not:
+        contention can only make a trial slower, never faster, so the
+        overall min is always the soundest best-achievable estimate --
+        whereas a slow mid-burst trial can END under a recovered load
+        average and masquerade as the best "clean" one (run-4 q7:
+        522.9s labeled clean vs 107.5s overall min).  Cleanness is a
+        LABEL (``best_trial_clean``) and a retry trigger, not a
+        selector."""
         n = None
         secs = []
         loads = []
@@ -109,14 +118,16 @@ def headline(spark) -> tuple[dict, dict]:
             one_trial()
         for _ in range(3):
             cl = clean_secs()
-            if cl and (anchor is None or min(cl) <= 2 * anchor):
+            if cl and (anchor is None or min(secs) <= 2 * anchor):
                 break
             retry_waits.append(_wait_quiet(target=4.0))
             one_trial()
         cl = clean_secs()
-        times[name] = min(cl) if cl else min(secs)
+        best = min(secs)
+        times[name] = best
         all_runs[name] = {"secs": secs, "load_1m_before": loads,
-                          "load_1m_after": loads_after}
+                          "load_1m_after": loads_after,
+                          "best_trial_clean": bool(cl) and best in cl}
         if retry_waits:
             all_runs[name]["retry_wait_s"] = retry_waits
         return n

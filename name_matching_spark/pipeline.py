@@ -78,6 +78,14 @@ class MatchConfig:
     prefix_size: int | None = None
     auto_prefix_threshold: int = 4_000
     auto_prefix_size: int = 6
+    # per-group plan routing when a grouped corpus has blocks on BOTH
+    # sides of the threshold: big groups -> prefix, small -> exact join
+    # (union of candidates).  Default on: recall on small blocks becomes
+    # exact-by-construction and the per-doc cost gap (exact ~1.5x
+    # cheaper on tiny blocks, measured) grows with the small-block
+    # share; at the 45k-doc bench fixture the two plans measure within
+    # ~5% (BENCH.md round 5).  False forces the global max-block plan.
+    route_per_group: bool = True
     # postprocess word-stripped re-scoring of winners (reference
     # legal_suffixes / common_words flags, name_matcher.py:158-176,984-1009)
     legal_suffixes: bool = False
@@ -210,7 +218,8 @@ def _fit_fingerprint(config: "MatchConfig") -> str:
     return fingerprint_of((
         "fit", _prep_fingerprint(config), config.ngram_range,
         config.df_cap_frac, config.prefix_size,
-        config.auto_prefix_threshold, config.auto_prefix_size))
+        config.auto_prefix_threshold, config.auto_prefix_size,
+        config.route_per_group))
 
 
 def _resolve_plan(config: "MatchConfig",
@@ -242,10 +251,18 @@ def _resolve_plan(config: "MatchConfig",
     max_block = doc_counts.agg(F.max("n_docs")).first()[0] or 0
     if max_block <= thr:
         return None, None
+    if not config.route_per_group:
+        return config.auto_prefix_size, None
     small = doc_counts.filter(F.col("n_docs") <= thr)
     if small.limit(1).count() == 0:
         return config.auto_prefix_size, None
-    big = doc_counts.filter(F.col("n_docs") > thr).select(GROUP_COL)
+    # persist + materialize: the routing table is reused by four
+    # broadcast joins (q/m x semi/anti); left lazy, every one of them
+    # would re-run the doc-count aggregation over the master table
+    # (measured ~11s of pure overhead on a 45k-doc fixture)
+    big = (doc_counts.filter(F.col("n_docs") > thr).select(GROUP_COL)
+           .persist())
+    big.count()
     return config.auto_prefix_size, big
 
 
@@ -470,9 +487,10 @@ def match_names(
         doc_counts = doc_count_table(b, "id")
         idf = cache(idf_table(m_tf, doc_counts))
         m_w = master_weights(m_tf, idf)
-    q_tf = explode_char_ngrams(remainder, "id", "name_norm",
-                               config.ngram_range)
-    q_w = query_weights(q_tf, idf)
+    def _qw(rem):
+        return query_weights(
+            explode_char_ngrams(rem, "id", "name_norm",
+                                config.ngram_range), idf)
 
     def _candidates():
         if fitted is not None:
@@ -495,36 +513,55 @@ def match_names(
                 master_pref=fitted.m_pref if fitted is not None else None,
                 master_map=fitted.m_map if fitted is not None else None)
 
-        def _exact(qw):
-            return cosine_top_n(qw, m_w, config.top_n, idf=idf,
+        def _exact(qw, mw):
+            return cosine_top_n(qw, mw, config.top_n, idf=idf,
                                 df_cap_frac=config.df_cap_frac,
                                 round_decimals=9,
                                 master_capped=fitted is not None)
 
-        def _gen(qw):
-            if prefix_size is None:
-                return _exact(qw)
-            if big_groups is None:
-                return _prefix(qw, m_w)
-            # per-group routing: queries in over-threshold groups take the
-            # prefix blocker (postings restricted to those groups), the
-            # rest keep the exact join; one query = one group, so the
-            # union preserves per-qid top-n semantics.  big_groups is a
-            # per-group table (<= corpus/threshold rows), so the semi/anti
-            # routing joins broadcast instead of reshuffling the weights.
+        if big_groups is not None:
+            # per-group routing: queries in over-threshold groups take
+            # the prefix blocker, the rest keep the exact join; one query
+            # = one group, so the union preserves per-qid top-n
+            # semantics.  The split happens at the PREPARED-rows level,
+            # BEFORE the ngram explode and idf join, so each branch's
+            # weight pipeline runs only over its disjoint subset --
+            # routing the weight tables instead would duplicate the full
+            # scan->explode->idf-join lineage into both branches (first
+            # cut measured 1.5x slower than the unrouted plan from
+            # exactly that).  big_groups is a per-group table
+            # (<= corpus/threshold rows), so the routing semi/anti joins
+            # broadcast instead of reshuffling the rows.
             big_b = F.broadcast(big_groups)
-            qw_big = qw.join(big_b, GROUP_COL, "leftsemi")
-            qw_small = qw.join(big_b, GROUP_COL, "leftanti")
-            mw_big = (m_w.join(big_b, GROUP_COL, "leftsemi")
-                      if fitted is None else m_w)
-            return _prefix(qw_big, mw_big).unionByName(_exact(qw_small))
+            if fitted is None:
 
-        cand = _gen(q_w)
+                def _mw(side):
+                    return master_weights(
+                        explode_char_ngrams(
+                            b.join(big_b, GROUP_COL, side),
+                            "id", "name_norm", config.ngram_range), idf)
+
+                m_w_big, m_w_small = _mw("leftsemi"), _mw("leftanti")
+            else:
+                # m_pref/m_map (big-only) serve the prefix branch; the
+                # fitted m_w is already persisted, so the exact branch's
+                # (group, ngram) join reads the cached table -- no
+                # master re-scan to save by splitting it
+                m_w_big, m_w_small = m_w, m_w
+
+        def _gen(rem):
+            if prefix_size is None:
+                return _exact(_qw(rem), m_w)
+            if big_groups is None:
+                return _prefix(_qw(rem), m_w)
+            qw_big = _qw(rem.join(big_b, GROUP_COL, "leftsemi"))
+            qw_small = _qw(rem.join(big_b, GROUP_COL, "leftanti"))
+            return _prefix(qw_big, m_w_big).unionByName(
+                _exact(qw_small, m_w_small))
+
+        cand = _gen(remainder)
         if config.preprocess_split:
-            reduced = reduce_query_names(remainder)
-            q_tf2 = explode_char_ngrams(reduced, "id", "name_norm",
-                                        config.ngram_range)
-            cand2 = _gen(query_weights(q_tf2, idf))
+            cand2 = _gen(reduce_query_names(remainder))
             # union of both candidate sets (reference hstacks positions;
             # duplicates don't change the argmax, so distinct is safe)
             cand = (cand.unionByName(cand2)
