@@ -23,7 +23,7 @@ from pyspark.sql.types import StringType
 from ..nm_core.preprocess import (
     PreprocessConfig,
     light_preprocess_name,
-    preprocess_name,
+    pipeline_preprocess_name,
 )
 
 # Matches nm_core.preprocess.clean_non_word + lower: [^\w\-\&\#] -> ' ',
@@ -44,7 +44,8 @@ def preprocess_udf(cfg: PreprocessConfig = PreprocessConfig()):
 
     @F.pandas_udf(StringType())
     def _pp(names: pd.Series) -> pd.Series:
-        return names.astype("object").map(lambda n: preprocess_name(n, cfg))
+        return names.astype("object").map(
+            lambda n: pipeline_preprocess_name(n, cfg))
 
     return _pp
 

@@ -19,7 +19,7 @@ from .preprocess import (
     common_word_set,
     legal_word_set,
     light_preprocess_name,
-    preprocess_name,
+    pipeline_preprocess_name,
     strip_words,
 )
 from .tfidf import TfidfOracle
@@ -85,7 +85,8 @@ class OracleMatcher:
         self.oracle = TfidfOracle()
 
     def load_master(self, names: list[str]) -> None:
-        self.master_names = [preprocess_name(n, self.cfg) for n in names]
+        self.master_names = [pipeline_preprocess_name(n, self.cfg)
+                             for n in names]
         if self._legal_suffixes:
             self.word_set |= legal_word_set()
         if self._common_words:
@@ -131,7 +132,8 @@ class OracleMatcher:
         return merged
 
     def match(self, query_names: list[str]) -> list[OracleMatch]:
-        queries = [preprocess_name(n, self.cfg) for n in query_names]
+        queries = [pipeline_preprocess_name(n, self.cfg)
+                   for n in query_names]
         cand_lists = self.candidate_ids(queries)
         out: list[OracleMatch] = []
         for qid, (q, cand_ids) in enumerate(zip(queries, cand_lists)):
@@ -222,7 +224,8 @@ def run_nm_oracle_pairs_variant(
         m = OracleMatcher(metrics=metrics, **matcher_kwargs)
         m.load_master(lb)
         gs = metric_group_sizes(metrics)
-        queries = [preprocess_name(la[i], m.cfg) for i in unmatched]
+        queries = [pipeline_preprocess_name(la[i], m.cfg)
+               for i in unmatched]
         cand_lists = m.candidate_ids(queries)
         for i, q, cand_ids in zip(unmatched, queries, cand_lists):
             if not cand_ids:

@@ -14,7 +14,18 @@ Pipeline order (NameMatcher.preprocess):
   4. legal pre/suffix abbreviation (optional)
   5. common-word abbreviation (optional)
   6. step 1 again
-The pipeline is idempotent (the reference applies it twice on one path).
+
+The reference applies this preprocess TWICE on its uncached path
+(name_matcher.py:705,728), so the operative composition for parity is
+``pipeline_preprocess_name`` = f(f(x)) where the second application is
+observable.  For every shipped config except ``delete_legal`` a single
+application stabilizes (f(f(x)) == f(x) on f-outputs, property-tested), so
+the pipeline pays the second pass only under ``delete_legal``: its
+begin-anchored deletion leaves a leading space that blocks later rules in
+the SAME pass, so each full pass strips at most one more stacked leading
+legal token ('Sa:ss:ss#' -> 'ss ss#' -> 'ss#').  NO finite composition is
+a fixpoint for arbitrarily stacked tokens (the reference has the same
+behavior); parity only requires matching the reference's two passes.
 """
 
 from __future__ import annotations
@@ -319,6 +330,21 @@ def preprocess_name(name: str, cfg: PreprocessConfig = PreprocessConfig()) -> st
     if cfg.non_word_characters:
         name = clean_non_word(name)
     return name
+
+
+def pipeline_preprocess_name(
+    name: str, cfg: PreprocessConfig = PreprocessConfig()
+) -> str:
+    """The operative composition used by the matching pipeline and oracle:
+    the reference applies ``preprocess`` twice on its uncached path
+    (name_matcher.py:705,728).  For every config except ``delete_legal``
+    the second application is a no-op on first-pass output (stabilization
+    property, tests/test_properties.py), so it is paid only when
+    ``delete_legal`` makes it observable (see module docstring)."""
+    out = preprocess_name(name, cfg)
+    if cfg.delete_legal:
+        out = preprocess_name(out, cfg)
+    return out
 
 
 def light_preprocess_name(

@@ -32,7 +32,7 @@ from .nm_core.metrics import DEFAULT_METRICS
 from .nm_core.preprocess import (
     PreprocessConfig,
     light_preprocess_name,
-    preprocess_name,
+    pipeline_preprocess_name,
 )
 from .operators.blocking import cosine_top_n
 from .operators.cluster import cluster_matches
@@ -142,7 +142,7 @@ def _prepare_udf(cfg: PreprocessConfig, case_sensitive: bool = False,
                 n, case_sensitive=case_sensitive,
                 punctuation_sensitive=punctuation_sensitive,
                 special_character_sensitive=special_character_sensitive))
-        norm = light.map(lambda n: preprocess_name(n, cfg))
+        norm = light.map(lambda n: pipeline_preprocess_name(n, cfg))
         return pd.DataFrame({"name_light": light, "name_norm": norm})
 
     return _prep

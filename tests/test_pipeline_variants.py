@@ -72,3 +72,30 @@ def test_multi_match_and_pivot(spark):
     wide = pivot_matches(res2, 2).collect()[0]
     assert wide["match_index_0"] in (0, 1)
     assert wide["score_0"] >= wide["score_1"]
+
+
+def test_delete_legal_prepare_matches_double_pass_oracle(spark):
+    """Round-5 verdict item #1: the Spark prepare UDF under delete_legal
+    must reproduce the reference's operative double preprocess (the NumPy
+    oracle composition), including on names with stacked leading legal
+    tokens where a single pass provably diverges."""
+    from name_matching_spark.nm_core.preprocess import (
+        PreprocessConfig, light_preprocess_name, pipeline_preprocess_name)
+    from name_matching_spark.pipeline import MatchConfig, _prepare
+
+    cfg = MatchConfig(preprocess=PreprocessConfig(
+        preprocess_legal=True, delete_legal=True))
+    names = ["bv bv Acme", "nv bv sa Acme", "Acme Limited",
+             "gmbh Acme gmbh", "", "plain name"]
+    df = spark.createDataFrame(list(enumerate(names)),
+                               "id long, name string")
+    got = {r["id"]: r["name_norm"]
+           for r in _prepare(df, "id", "name", None, cfg).collect()}
+    expected = {i: pipeline_preprocess_name(light_preprocess_name(n),
+                                            cfg.preprocess)
+                for i, n in enumerate(names)}
+    assert got == expected
+    # the stacked-token name really exercises the divergence
+    from name_matching_spark.nm_core.preprocess import preprocess_name
+    assert (preprocess_name(light_preprocess_name("bv bv Acme"),
+                            cfg.preprocess) != expected[0])

@@ -22,6 +22,7 @@ from name_matching_spark.nm_core import metrics_batch as MB
 from name_matching_spark.nm_core.preprocess import (
     PreprocessConfig,
     light_preprocess_name,
+    pipeline_preprocess_name,
     preprocess_name,
 )
 
@@ -30,12 +31,20 @@ TEXT = st.text(
 WORDS = st.text(
     alphabet="abcdefghijklmnopqrstuvwxyz -&#", max_size=40)
 
+# delete_legal is deliberately NOT here: begin-anchored deletion strips at
+# most one stacked leading legal token per full pass (the deleted token
+# leaves a leading space that blocks later rules in the same pass), so NO
+# finite composition stabilizes on arbitrarily stacked tokens ('ß'->'ss'
+# stacks: 'ß:ß:ß:ß:ß#' needs 5 passes).  The reference has the identical
+# behavior and simply applies preprocess twice (name_matcher.py:705,728);
+# parity is covered by test_delete_legal_* below.
 CFGS = [
     PreprocessConfig(),
     PreprocessConfig(preprocess_legal=True),
-    PreprocessConfig(preprocess_legal=True, delete_legal=True),
     PreprocessConfig(make_abbreviations=False),
 ]
+
+DELETE_CFG = PreprocessConfig(preprocess_legal=True, delete_legal=True)
 
 
 @settings(max_examples=300, deadline=None)
@@ -45,6 +54,32 @@ def test_preprocess_stabilizes(s):
         once = preprocess_name(s, cfg)
         twice = preprocess_name(once, cfg)
         assert preprocess_name(twice, cfg) == twice
+
+
+def test_delete_legal_regression_pinned():
+    """Hypothesis-found counterexample (round-5 verdict): each single pass
+    deletes ONE more leading legal token, so the single-pass output
+    diverges from the reference's double application.  The pipeline
+    composition must produce the reference's f(f(x))."""
+    s = 'Sa:ß:ß#'
+    assert preprocess_name(s, DELETE_CFG) == 'ss ss#'
+    assert preprocess_name('ss ss#', DELETE_CFG) == 'ss#'
+    assert pipeline_preprocess_name(s, DELETE_CFG) == 'ss#'
+    # non-delete configs: the composition is a single pass (identity of
+    # the second application is property-tested above)
+    for cfg in CFGS:
+        assert (pipeline_preprocess_name(s, cfg)
+                == preprocess_name(s, cfg))
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXT)
+def test_delete_legal_pipeline_matches_reference_double_pass(s):
+    """Parity invariant that replaces stabilization for delete_legal: the
+    pipeline's operative composition equals the reference's uncached-path
+    double preprocess f(f(x)) (name_matcher.py:705,728)."""
+    ref = preprocess_name(preprocess_name(s, DELETE_CFG), DELETE_CFG)
+    assert pipeline_preprocess_name(s, DELETE_CFG) == ref
 
 
 @settings(max_examples=300, deadline=None)
