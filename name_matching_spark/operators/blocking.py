@@ -129,6 +129,55 @@ def weights_as_map(w: DataFrame, id_alias: str, map_alias: str) -> DataFrame:
             .withColumnRenamed("id", id_alias))
 
 
+def _doc_table(w: DataFrame, idf: DataFrame, prefix_size: int,
+               df_cap_frac: float | None, id_alias: str,
+               map_alias: str) -> DataFrame:
+    """One-pass per-document table for the prefix blocker:
+    -> (group, <id_alias>, __pref array<ngram>, <map_alias> map).
+
+    Fuses what used to be four separate full passes over a side's weight
+    table -- cap_hot_ngrams (semi-join), rare_prefix_postings (sort +
+    row_number window), and weights_as_map (map aggregation) -- into ONE
+    hash aggregation keyed by (group, id): the df-cap filter and the df
+    lookup ride the same broadcast join, and the prefix selection becomes
+    an array_sort + slice over each document's ~tens of entries instead
+    of a window pass over the full table.  Selection order (df asc,
+    ngram asc) and the df-cap semantics are identical to the operators it
+    replaces; map entries are emitted in that same deterministic order,
+    which also makes the verify dot's summation order run-stable."""
+    keep = idf
+    if df_cap_frac is not None:
+        keep = idf.filter(
+            F.col("df") <= F.greatest(F.lit(100.0),
+                                      F.col("n_docs") * F.lit(df_cap_frac)))
+    keep = keep.select(GROUP_COL, "ngram", "df")
+    ents = (
+        w.join(F.broadcast(keep), [GROUP_COL, "ngram"])
+        .groupBy(GROUP_COL, F.col("id").alias(id_alias))
+        .agg(F.array_sort(F.collect_list(
+            F.struct("df", "ngram", "weight"))).alias("__ents"))
+    )
+    return ents.select(
+        GROUP_COL, id_alias,
+        F.expr(f"transform(slice(__ents, 1, {int(prefix_size)}), "
+               "e -> e.ngram)").alias("__pref"),
+        F.expr("map_from_entries(transform(__ents, "
+               "e -> struct(e.ngram, e.weight)))").alias(map_alias))
+
+
+def _grouped_postings(pref_long: DataFrame, id_alias: str,
+                      posting_cap: int | None) -> DataFrame:
+    """(group, id, ngram) long postings -> (group, ngram, array<id>),
+    posting lists sorted by id and truncated to ``posting_cap`` --
+    value-identical to the row_number truncation in
+    ``rare_prefix_postings`` but without the extra window pass."""
+    ids = F.array_sort(F.collect_list(id_alias))
+    if posting_cap is not None:
+        ids = F.slice(ids, 1, int(posting_cap))
+    return (pref_long.groupBy(GROUP_COL, "ngram")
+            .agg(ids.alias(f"__{id_alias}s")))
+
+
 def prefix_filtered_top_n(
     query_w: DataFrame,
     master_w: DataFrame,
@@ -172,34 +221,60 @@ def prefix_filtered_top_n(
     master-side tables from ``rare_prefix_postings``/``weights_as_map``;
     when given, the master side of this call is pure reuse -- no master
     aggregation or window re-runs (the streaming per-micro-batch path).
-    """
-    if df_cap_frac is not None:
-        query_w = cap_hot_ngrams(query_w, idf, df_cap_frac)
-        if master_pref is None:
-            master_w = cap_hot_ngrams(master_w, idf, df_cap_frac)
 
-    q_pref = rare_prefix_postings(query_w, idf, prefix_size,
-                                  posting_cap).select(
-        GROUP_COL, F.col("id").alias("qid"), "ngram")
-    if master_pref is None:
-        master_pref = rare_prefix_postings(master_w, idf, prefix_size,
-                                           posting_cap)
-    m_pref = master_pref.select(GROUP_COL, F.col("id").alias("mid"), "ngram")
-    cand = (q_pref.join(m_pref, [GROUP_COL, "ngram"])
-            .select(GROUP_COL, "qid", "mid").distinct())
+    Plan shape (round 6): each side is collapsed into ONE per-document
+    aggregation (``_doc_table``) that yields both the prefix grams and
+    the weight map, so the side's weight table is consumed once instead
+    of feeding four separate window/aggregation passes; the candidate
+    join runs over vocabulary-keyed posting ARRAYS (``_grouped_postings``
+    -- the same rows the former per-gram row_number cap produced) and the
+    maps for the verify dot come from the same per-doc tables.  Output is
+    value-identical to the pre-fusion plan (selection order, cap
+    semantics and cosine values unchanged; locked by
+    tests/test_spark_blocking.py and the prefix_cosine_topk oracle).
+    """
+    q_doc = _doc_table(query_w, idf, prefix_size, df_cap_frac, "qid", "qm")
+    if master_pref is not None:
+        m_post = _grouped_postings(
+            master_pref.select(GROUP_COL, F.col("id").alias("mid"),
+                               "ngram"), "mid", posting_cap)
+        m_map = (master_map if master_map is not None
+                 else weights_as_map(
+                     cap_hot_ngrams(master_w, idf, df_cap_frac),
+                     "mid", "mm")).select(GROUP_COL, "mid", "mm")
+    else:
+        m_doc = _doc_table(master_w, idf, prefix_size, df_cap_frac,
+                           "mid", "mm")
+        m_post = _grouped_postings(
+            m_doc.select(GROUP_COL, "mid",
+                         F.explode("__pref").alias("ngram")),
+            "mid", posting_cap)
+        m_map = m_doc.select(GROUP_COL, "mid", "mm")
+    q_post = _grouped_postings(
+        q_doc.select(GROUP_COL, "qid", F.explode("__pref").alias("ngram")),
+        "qid", posting_cap)
+    # candidate set per qid = distinct union of the m-posting arrays of its
+    # (cap-surviving) prefix grams.  Deduplicate INSIDE a per-qid array
+    # (flatten + array_distinct) instead of a pair-level distinct: the same
+    # set, but the exchange moves array-packed ids once and the 5-10x
+    # duplicated (qid, mid) long rows never exist as shuffle rows.
+    q_caps = q_post.select(GROUP_COL, "ngram",
+                           F.explode("__qids").alias("qid"))
+    cand = (q_caps.join(m_post, [GROUP_COL, "ngram"])
+            .groupBy(GROUP_COL, "qid")
+            .agg(F.array_distinct(F.flatten(F.collect_list("__mids")))
+                 .alias("__cands"))
+            .select(GROUP_COL, "qid", F.explode("__cands").alias("mid")))
 
     # exact cosine for candidates WITHOUT re-exploding grams: each side's
-    # weight vector becomes one map column; the dot product is a JVM-side
+    # weight vector is one map column; the dot product is a JVM-side
     # map_zip_with fold, so verification is |candidates| rows end-to-end
-    q_map = weights_as_map(query_w, "qid", "qm")
-    m_map = (master_map if master_map is not None
-             else weights_as_map(master_w, "mid", "mm"))
     dot = F.expr(
         "aggregate(map_values(map_zip_with(qm, mm, "
         "(k, v1, v2) -> coalesce(v1, 0d) * coalesce(v2, 0d))), "
         "0d, (acc, x) -> acc + x)")
     pairs = (
-        cand.join(q_map, [GROUP_COL, "qid"])
+        cand.join(q_doc.select(GROUP_COL, "qid", "qm"), [GROUP_COL, "qid"])
         .join(m_map, [GROUP_COL, "mid"])
         .select(GROUP_COL, "qid", "mid", dot.alias("cosine"))
         .filter(F.col("cosine") > 0)

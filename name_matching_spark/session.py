@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+        # every post-shuffle build partition is small (default 0 = never).
+        # Sized from MEASURED partition bytes, so it is scale-safe: at any
+        # corpus size AQE only converts when the per-partition hash build
+        # fits comfortably; the win here is skipping the sort of wide
+        # intermediate rows (candidate pairs carrying weight-map payloads)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
