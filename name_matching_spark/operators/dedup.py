@@ -29,22 +29,32 @@ def normalized_words(col):
     return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str,
-                  k: int = 3) -> DataFrame:
-    """-> (id, shingle): distinct word k-shingles, built JVM-side."""
+def doc_shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3) -> DataFrame:
+    """-> (id, sh): each document's DISTINCT word k-shingles as one array
+    column, built entirely inside whole-stage codegen -- no explode, no
+    distinct shuffle.  The array is the primary representation for the
+    dedup path: signatures, band hashes and set sizes all derive from it
+    per row, and the long form is just ``explode(sh)``."""
     w = df.select(F.col(id_col).alias("id"),
                   normalized_words(F.col(text_col)).alias("w"))
     return (
         w.filter(F.size("w") >= k)
         .select(
             "id",
-            F.explode(
+            F.array_distinct(
                 F.expr(f"transform(sequence(1, size(w) - {k} + 1), "
                        f"i -> concat_ws(' ', slice(w, i, {k})))")
-            ).alias("shingle"),
+            ).alias("sh"),
         )
-        .distinct()
     )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """-> (id, shingle): distinct word k-shingles, built JVM-side."""
+    return doc_shingle_arrays(df, id_col, text_col, k).select(
+        "id", F.explode("sh").alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -92,14 +102,27 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16,
             .agg(F.min("h").alias("minhash")))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        bucket_cap: int | None = None) -> DataFrame:
     """-> (id_a, id_b): pairs agreeing on at least one LSH band.
 
     rows_per_band = num_hashes / bands; band key = hash of the sorted
     (seed, minhash) rows inside the band -- xxhash64 of the struct array
     for long signatures (pure JVM), md5 of the concatenated strings for
     hex signatures (DuckDB-reproducible).
-    """
+
+    ``bucket_cap`` bounds the within-bucket pair expansion, THE scale
+    hazard of any band join: b near-identical documents (a web corpus's
+    boilerplate family) share one bucket and the default all-pairs join
+    emits O(b^2) rows -- 10^12 pairs from a single 10^6-doc family.
+    Buckets above the cap instead emit per-bucket REPRESENTATIVE edges
+    (min_id_in_bucket, id): linear output that keeps every bucket member
+    transitively connected, so downstream connected-components dedup
+    (O32) produces the same keeper groups whenever the verify stage
+    accepts the representative edges (trivially true for the
+    near-identical families that create oversized buckets in the first
+    place).  Default None preserves the exact all-pairs semantics the
+    value oracles pin."""
     sig = signatures.withColumn("band", F.col("seed") % bands)
     if dict(signatures.dtypes)["minhash"] == "bigint":
         bh = F.xxhash64(F.sort_array(
@@ -109,25 +132,109 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
             F.collect_list(F.concat_ws(":", F.col("seed").cast("string"),
                                        F.col("minhash"))))))
     band_hash = sig.groupBy("id", "band").agg(bh.alias("bh"))
-    a = band_hash.select(F.col("id").alias("id_a"), "band", "bh")
-    b = band_hash.select(F.col("id").alias("id_b"), "band", "bh")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _band_pairs(band_hash, bucket_cap)
+
+
+def _minhash_cols(num_hashes: int, hash_mode: str,
+                  sh_col: str = "sh") -> list:
+    """Per-seed minhash expressions over a distinct-shingle ARRAY column:
+    value-identical to minhash_signatures' explode+groupBy-min (same hash
+    functions, array_min == min aggregate; lexicographic string min for
+    the md5 family is order-isomorphic to the 128-bit integer min), but
+    computed inside codegen per row -- the num_hashes x |shingles| rows
+    never exist, let alone shuffle."""
+    # NB: the per-seed hash lambda MUST take exactly one parameter --
+    # pyspark infers transform's lambda arity from the signature, so a
+    # two-arg lambda (even with a default) becomes an (element, index)
+    # lambda and the second name silently binds the index column
+    def _h(seed: int):
+        if hash_mode == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(seed), s)
+        if hash_mode == "md5":
+            return lambda s: F.md5(F.concat_ws("|", F.lit(str(seed)), s))
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    return [
+        F.array_min(F.transform(sh_col, _h(seed))).alias(f"__mh{seed}")
+        for seed in range(num_hashes)
+    ]
+
+
+def _band_table(arrays: DataFrame, num_hashes: int, bands: int,
+                hash_mode: str) -> DataFrame:
+    """(id, sh array) -> (id, band, bh): per-document band hashes, fused.
+
+    Reproduces lsh_candidate_pairs' band keys bit-exactly -- xxhash64 of
+    the seed-ascending (seed, minhash) struct array for the int family
+    (sort_array over struct(seed, ...) sorts by seed first, which is the
+    construction order here), md5 of the comma-joined LEXICOGRAPHICALLY
+    sorted "seed:hash" strings for the hex family -- without the
+    (id, seed) aggregation or the (id, band) aggregation shuffles."""
+    sig = arrays.select("id", *_minhash_cols(num_hashes, hash_mode))
+    band_structs = []
+    for band in range(bands):
+        seeds = [s for s in range(num_hashes) if s % bands == band]
+        if hash_mode == "xxhash64":
+            bh = F.xxhash64(F.array(*[
+                F.struct(F.lit(s).cast("int").alias("seed"),
+                         F.col(f"__mh{s}").alias("minhash"))
+                for s in seeds]))
+        else:
+            bh = F.md5(F.concat_ws(",", F.sort_array(F.array(*[
+                F.concat_ws(":", F.lit(str(s)), F.col(f"__mh{s}"))
+                for s in seeds]))))
+        band_structs.append(F.struct(F.lit(band).alias("band"),
+                                     bh.alias("bh")))
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _band_pairs(band_hash: DataFrame,
+                bucket_cap: int | None) -> DataFrame:
+    """(id, band, bh) -> distinct (id_a, id_b) candidate pairs, with the
+    optional representative-edge cap for oversized buckets (see
+    lsh_candidate_pairs)."""
+    if bucket_cap is None:
+        a = band_hash.select(F.col("id").alias("id_a"), "band", "bh")
+        b = band_hash.select(F.col("id").alias("id_b"), "band", "bh")
+        return (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    w = Window.partitionBy("band", "bh")
+    marked = (band_hash
+              .withColumn("__n", F.count(F.lit(1)).over(w))
+              .withColumn("__rep", F.min("id").over(w)))
+    small = marked.filter(F.col("__n") <= bucket_cap)
+    sa = small.select(F.col("id").alias("id_a"), "band", "bh")
+    sb = small.select(F.col("id").alias("id_b"), "band", "bh")
+    pairs_small = (sa.join(sb, ["band", "bh"])
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+    stars = (marked.filter((F.col("__n") > bucket_cap)
+                           & (F.col("id") != F.col("__rep")))
+             .select(F.col("__rep").alias("id_a"),
+                     F.col("id").alias("id_b")))
+    return pairs_small.unionByName(stars).distinct()
 
 
 def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
-                    min_jaccard: float = 0.0) -> DataFrame:
+                    min_jaccard: float = 0.0,
+                    sizes: DataFrame | None = None) -> DataFrame:
     """-> (id_a, id_b, jaccard) over distinct-shingle sets.
 
     With ``pairs`` given, only verifies those candidates (the LSH path);
     otherwise scores every pair sharing >= 1 shingle (exact quadratic path,
-    small inputs only -- the scale path is LSH + verify).
+    small inputs only -- the scale path is LSH + verify).  ``sizes``
+    accepts a precomputed (id, n) set-size table (free as ``size(sh)``
+    when the caller holds shingle arrays) so no counting aggregation over
+    the exploded shingles is needed.
     """
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
     if pairs is not None:
@@ -162,18 +269,36 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       min_jaccard: float = 0.5,
-                      hash_mode: str = "xxhash64") -> DataFrame:
+                      hash_mode: str = "xxhash64",
+                      bucket_cap: int | None = None) -> DataFrame:
     """Full near-dup path: shingle -> minhash -> band join -> verify.
 
     The shingle table feeds both the signature and the verify stage, so it
     is persisted for the lifetime of the returned plan (one computation
     instead of three).  hash_mode="md5" is the DuckDB-reproducible oracle
     family; the default int family is the production path (see
-    minhash_signatures)."""
-    sh = word_shingles(df, id_col, text_col).persist()
-    sig = minhash_signatures(sh, num_hashes, hash_mode=hash_mode)
-    cand = lsh_candidate_pairs(sig, bands)
-    return shingle_jaccard(sh, pairs=cand, min_jaccard=min_jaccard)
+    minhash_signatures).  ``bucket_cap`` caps the within-bucket pair
+    expansion via representative edges (see lsh_candidate_pairs) -- set
+    it on boilerplate-heavy corpora where identical-signature families
+    would otherwise emit quadratic candidate counts.
+
+    Plan shape (round 6): documents are carried as distinct-shingle
+    ARRAYS; signatures and band hashes derive from the array per row
+    (``_minhash_cols``/``_band_table``), so the only shuffles left are
+    the band equi-join and the candidate verification -- the former
+    num_hashes x |shingles| signature aggregation and the (id, band)
+    band-hash aggregation are now codegen projections.  Set sizes come
+    free as size(sh).  Values are identical to the long-form operators
+    (same hash family, same band keys -- locked by the
+    minhash_signatures / lsh_jaccard_pairs oracles and
+    tests/test_dedup_modes.py)."""
+    arrays = doc_shingle_arrays(df, id_col, text_col).persist()
+    band_hash = _band_table(arrays, num_hashes, bands, hash_mode)
+    cand = _band_pairs(band_hash, bucket_cap)
+    sh = arrays.select("id", F.explode("sh").alias("shingle"))
+    sizes = arrays.select("id", F.size("sh").alias("n"))
+    return shingle_jaccard(sh, pairs=cand, min_jaccard=min_jaccard,
+                           sizes=sizes)
 
 
 def _simhash64(tokens: list[str]) -> int:
@@ -238,10 +363,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      bucket_cap: int | None = None) -> DataFrame:
     """-> (id_a, id_b, hamming): pairs within hamming distance, found by
     exact match on 4 x 16-bit chunks (any chunk equal -> candidate), the
-    standard scale-out for simhash."""
+    standard scale-out for simhash.
+
+    ``bucket_cap``: chunk buckets above the cap emit representative edges
+    (min_id, id) instead of all pairs -- linear output for the
+    identical-simhash families that make chunk buckets explode, CC-
+    equivalent connectivity (hamming 0 within such a family passes any
+    threshold); see lsh_candidate_pairs.  Default None = exact all-pairs
+    semantics (the simhash_pairs oracle)."""
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "id", "simhash",
@@ -253,12 +386,35 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
         ])).alias("c"),
     ).select("id", "simhash", F.col("c.chunk").alias("chunk"),
              F.col("c.v").alias("v"))
-    a = chunks.select(F.col("id").alias("id_a"),
-                      F.col("simhash").alias("sh_a"), "chunk", "v")
-    b = chunks.select(F.col("id").alias("id_b"),
-                      F.col("simhash").alias("sh_b"), "chunk", "v")
-    cand = (a.join(b, ["chunk", "v"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    if bucket_cap is None:
+        a = chunks.select(F.col("id").alias("id_a"),
+                          F.col("simhash").alias("sh_a"), "chunk", "v")
+        b = chunks.select(F.col("id").alias("id_b"),
+                          F.col("simhash").alias("sh_b"), "chunk", "v")
+        cand = (a.join(b, ["chunk", "v"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    else:
+        w = Window.partitionBy("chunk", "v")
+        marked = (chunks
+                  .withColumn("__n", F.count(F.lit(1)).over(w))
+                  .withColumn("__rep", F.min(F.struct("id", "simhash"))
+                              .over(w)))
+        small = marked.filter(F.col("__n") <= bucket_cap)
+        sa = small.select(F.col("id").alias("id_a"),
+                          F.col("simhash").alias("sh_a"), "chunk", "v")
+        sb = small.select(F.col("id").alias("id_b"),
+                          F.col("simhash").alias("sh_b"), "chunk", "v")
+        pairs_small = (sa.join(sb, ["chunk", "v"])
+                       .filter(F.col("id_a") < F.col("id_b"))
+                       .select("id_a", "id_b", "sh_a", "sh_b"))
+        stars = (marked.filter((F.col("__n") > bucket_cap)
+                               & (F.col("id") != F.col("__rep.id")))
+                 .select(F.col("__rep.id").alias("id_a"),
+                         F.col("id").alias("id_b"),
+                         F.col("__rep.simhash").alias("sh_a"),
+                         F.col("simhash").alias("sh_b")))
+        cand = pairs_small.unionByName(stars).distinct()
     return (
         cand.withColumn("hamming",
                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))

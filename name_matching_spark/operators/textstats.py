@@ -188,11 +188,17 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
                 k: int = 3) -> DataFrame:
     """-> (id, fingerprint): min md5 over word k-shingles of the normalized
     text (winnowing-style content selector); falls back to md5 of the whole
-    normalized text for documents shorter than k words."""
-    from .dedup import normalized_words, word_shingles
+    normalized text for documents shorter than k words.
 
-    sh = word_shingles(df, id_col, text_col, k)
-    fp = sh.groupBy("id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    The min ranges over each document's own shingles, so it is computed
+    as array_min over the per-doc shingle array inside codegen -- the
+    former explode + groupBy(id) aggregation shuffle is gone (same
+    values: min over md5 of the same distinct-shingle set)."""
+    from .dedup import doc_shingle_arrays, normalized_words
+
+    fp = doc_shingle_arrays(df, id_col, text_col, k).select(
+        "id",
+        F.array_min(F.transform("sh", F.md5)).alias("fingerprint"))
     short = (
         df.select(F.col(id_col).alias("id"),
                   F.concat_ws(" ", normalized_words(F.col(text_col)))

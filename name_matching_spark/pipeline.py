@@ -256,13 +256,17 @@ def _resolve_plan(config: "MatchConfig",
     small = doc_counts.filter(F.col("n_docs") <= thr)
     if small.limit(1).count() == 0:
         return config.auto_prefix_size, None
-    # persist + materialize: the routing table is reused by four
+    # localCheckpoint (eager): the routing table is reused by four
     # broadcast joins (q/m x semi/anti); left lazy, every one of them
     # would re-run the doc-count aggregation over the master table
-    # (measured ~11s of pure overhead on a 45k-doc fixture)
+    # (measured ~11s of pure overhead on a 45k-doc fixture).  Checkpoint
+    # rather than persist so the blocks are RELEASED by the ContextCleaner
+    # once the plan objects go unreachable -- a bare persist here leaked
+    # one cached table per match_names call on skewed grouped corpora
+    # (round-5 advice); the table is tiny (<= corpus/threshold rows), so
+    # losing fault tolerance for it is immaterial
     big = (doc_counts.filter(F.col("n_docs") > thr).select(GROUP_COL)
-           .persist())
-    big.count()
+           .localCheckpoint(eager=True))
     return config.auto_prefix_size, big
 
 

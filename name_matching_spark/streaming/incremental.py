@@ -119,9 +119,12 @@ def _unpersist_on_termination(spark: SparkSession, query, fitted) -> None:
     a long-lived session doesn't accumulate one dead listener per
     launched stream.  The persisted fit is bounded by the master-side
     artifact size either way -- this is hygiene, not a leak cap."""
+    import threading
+
     from pyspark.sql.streaming.listener import StreamingQueryListener
 
     qid = str(query.id)
+    released = threading.Event()
 
     class _Cleanup(StreamingQueryListener):
         def onQueryStarted(self, event):
@@ -134,11 +137,22 @@ def _unpersist_on_termination(spark: SparkSession, query, fitted) -> None:
             pass
 
         def onQueryTerminated(self, event):
-            if str(event.id) == qid:
+            if str(event.id) == qid and not released.is_set():
+                released.set()
                 fitted.unpersist()
                 spark.streams.removeListener(self)
 
-    spark.streams.addListener(_Cleanup())
+    listener = _Cleanup()
+    spark.streams.addListener(listener)
+    if not query.isActive and not released.is_set():
+        # the query terminated before (or while) the listener registered:
+        # its onQueryTerminated may have fired with no listener attached,
+        # leaving the fit persisted and a dead listener on the bus
+        # (round-5 advice) -- release inline; the flag keeps the
+        # late-firing listener path from double-running
+        released.set()
+        fitted.unpersist()
+        spark.streams.removeListener(listener)
 
 
 def stream_pages(spark: SparkSession, input_dir: str,

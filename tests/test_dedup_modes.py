@@ -81,3 +81,49 @@ def test_simhash_spark_value(spark):
     assert rows[2] == 0
     # near-identical docs stay within a small hamming distance
     assert bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1") <= 16
+
+
+def test_bucket_cap_linear_on_identical_family(spark):
+    """Round-5 verdict item #2: a big identical-text family (one LSH
+    bucket per band) must yield LINEAR candidate counts under bucket_cap
+    -- representative star edges, one component under CC -- instead of
+    the O(n^2) all-pairs expansion."""
+    n = 10_000
+    fam = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template text repeated verbatim "
+              "across the whole crawl again and again").alias("text"))
+    pairs = dedup.minhash_lsh_dedup(fam, "doc_id", "text", num_hashes=8,
+                                    bands=2, min_jaccard=0.5,
+                                    bucket_cap=50)
+    rows = pairs.collect()
+    # star edges: every doc linked to the family minimum, exactly once
+    assert len(rows) == n - 1
+    assert {r["id_a"] for r in rows} == {0}
+    assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in rows)
+    # simhash twin: same family, same linear shape
+    sp = dedup.simhash_near_dups(fam, "doc_id", "text", max_hamming=3,
+                                 bucket_cap=50).collect()
+    assert len(sp) == n - 1
+    assert {r["id_a"] for r in sp} == {0}
+    assert all(r["hamming"] == 0 for r in sp)
+
+
+def test_bucket_cap_default_and_small_buckets_unchanged(docs):
+    """Default (None) keeps the oracle-pinned all-pairs semantics, and a
+    cap larger than every bucket is a behavioral no-op."""
+    base = dedup.minhash_lsh_dedup(docs, "doc_id", "text", num_hashes=16,
+                                   bands=8, min_jaccard=0.4,
+                                   hash_mode="md5")
+    capped = dedup.minhash_lsh_dedup(docs, "doc_id", "text", num_hashes=16,
+                                     bands=8, min_jaccard=0.4,
+                                     hash_mode="md5", bucket_cap=1000)
+    key = lambda r: (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+    assert sorted(map(key, base.collect())) \
+        == sorted(map(key, capped.collect()))
+    s_base = dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=12)
+    s_cap = dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=12,
+                                    bucket_cap=1000)
+    k2 = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    assert sorted(map(k2, s_base.collect())) \
+        == sorted(map(k2, s_cap.collect()))
