@@ -233,7 +233,13 @@ def prefix_filtered_top_n(
     semantics and cosine values unchanged; locked by
     tests/test_spark_blocking.py and the prefix_cosine_topk oracle).
     """
-    q_doc = _doc_table(query_w, idf, prefix_size, df_cap_frac, "qid", "qm")
+    # lazy localCheckpoints: each doc table has TWO consumers (its posting
+    # explode and the verify map join); exchange reuse does not span those
+    # subtrees reliably under AQE, so without the checkpoint the whole
+    # weights lineage runs twice per side.  Lazy = no job until the plan
+    # executes; blocks are GC-released with the plan.
+    q_doc = _doc_table(query_w, idf, prefix_size, df_cap_frac,
+                       "qid", "qm").localCheckpoint(eager=False)
     if master_pref is not None:
         m_post = _grouped_postings(
             master_pref.select(GROUP_COL, F.col("id").alias("mid"),
@@ -244,7 +250,7 @@ def prefix_filtered_top_n(
                      "mid", "mm")).select(GROUP_COL, "mid", "mm")
     else:
         m_doc = _doc_table(master_w, idf, prefix_size, df_cap_frac,
-                           "mid", "mm")
+                           "mid", "mm").localCheckpoint(eager=False)
         m_post = _grouped_postings(
             m_doc.select(GROUP_COL, "mid",
                          F.explode("__pref").alias("ngram")),
