@@ -37,6 +37,18 @@ def get_spark(
         # intermediate rows (candidate pairs carrying weight-map payloads)
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+        # runtime (AQE) broadcast threshold: decided from MEASURED shuffle
+        # sizes, not estimates, so raising it is scale-safe -- a side only
+        # broadcasts when it actually is <= 64 MB, and a 100 TB-scale side
+        # falls back to the shuffled join exactly as before.  The win: the
+        # blocker's per-doc weight-map tables (tens of MB at bench scale)
+        # broadcast into the verify join, so the wide candidate-pair
+        # intermediate (~900 MB at 20k docs) is never shuffled or sorted.
+        # The STATIC threshold stays at its 10 MB default on purpose:
+        # static planning trusts size estimates, which are unreliable
+        # after aggregations, and a wrong static broadcast OOMs the driver
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_BROADCAST", "64m"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",

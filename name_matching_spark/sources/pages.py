@@ -15,6 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import struct
+from functools import lru_cache
 
 # syllable inventory sized so the name space stays diverse at bench scale
 # (low-entropy corpora make every name resemble every other and turn any
@@ -51,8 +52,11 @@ def _word(seed: int, entity_id: int, slot: int) -> str:
     return w.capitalize()
 
 
+@lru_cache(maxsize=1 << 14)
 def company_name(entity_id: int, seed: int = 42) -> str:
-    """Deterministic faker-style company name."""
+    """Deterministic faker-style company name.  Cached: every variant row
+    of an entity re-derives the same base name (variants are adjacent in
+    generation batches), so the memo halves the md5 work of page_row."""
     joiner = _JOINERS[_h(seed, entity_id, "j") % len(_JOINERS)]
     return joiner.format(
         a=_word(seed, entity_id, 0),
