@@ -63,25 +63,31 @@ def explode_char_ngrams(
     )
 
 
-def idf_table(tf: DataFrame, doc_counts: DataFrame) -> DataFrame:
+def idf_table(tf: DataFrame, doc_counts: DataFrame,
+              checkpoint: bool = True) -> DataFrame:
     """-> (group, ngram, idf).  doc_counts: (group, n_docs).
 
     The per-group ngram vocabulary is small (bounded by ~alphabet^3), so the
     resulting idf table is broadcast into the weight join.
 
-    The result is LAZILY localCheckpoint'd: idf feeds several independent
-    broadcast subtrees (query/master weight joins, the blocker's df-cap
-    and prefix-rank lookups), and AQE's exchange reuse does NOT dedupe a
-    shuffle shared between the main plan and broadcast-exchange subplans
-    -- without the checkpoint every broadcast re-runs the scan -> ngram
-    explode -> df aggregation lineage (4+ duplicated map stages in the
-    20k-doc bench profile).  First materialization computes it once;
-    every other consumer reads the stored blocks, and the ContextCleaner
-    frees them when the plan dies.  The table is vocabulary-sized, so
-    storage is trivial and the lost lineage fault-tolerance immaterial."""
+    The result is LAZILY localCheckpoint'd by default: idf feeds several
+    independent broadcast subtrees (query/master weight joins, the
+    blocker's df-cap and prefix-rank lookups), and AQE's exchange reuse
+    does NOT dedupe a shuffle shared between the main plan and broadcast-
+    exchange subplans -- without the checkpoint every broadcast re-runs
+    the scan -> ngram explode -> df aggregation lineage (4+ duplicated
+    map stages in the 20k-doc bench profile).  First materialization
+    computes it once; every other consumer reads the stored blocks, and
+    the ContextCleaner frees them when the plan dies.  The table is
+    vocabulary-sized, so storage is trivial and the lost lineage
+    fault-tolerance immaterial.  Callers that persist the result
+    themselves (fit_master, whose release contract unpersists every fit
+    table at query stop) pass ``checkpoint=False`` -- a persisted table
+    already serves every consumer from cache, and its storage must not
+    outlive the explicit unpersist."""
     df_tbl = tf.groupBy(GROUP_COL, "ngram").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
-    return (
+    out = (
         df_tbl.join(doc_counts, GROUP_COL)
         .withColumn(
             "idf",
@@ -89,8 +95,8 @@ def idf_table(tf: DataFrame, doc_counts: DataFrame) -> DataFrame:
             + F.lit(1.0),
         )
         .select(GROUP_COL, "ngram", "idf", "df", "n_docs")
-        .localCheckpoint(eager=False)
     )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def doc_count_table(df: DataFrame, id_col: str) -> DataFrame:

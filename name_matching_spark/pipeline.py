@@ -348,7 +348,11 @@ def fit_master(
                             config))
     m_tf = explode_char_ngrams(b, "id", "name_norm", config.ngram_range)
     doc_counts = _p("master_doc_counts", lambda: doc_count_table(b, "id"))
-    idf = _p("master_idf", lambda: idf_table(m_tf, doc_counts))
+    # checkpoint=False: the fit persists idf itself, and the fit-release
+    # contract (unpersist on stream stop) must free ALL fit storage --
+    # checkpoint blocks would linger until GC
+    idf = _p("master_idf",
+             lambda: idf_table(m_tf, doc_counts, checkpoint=False))
 
     def _mw():
         m_w = master_weights(m_tf, idf)

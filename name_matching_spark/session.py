@@ -49,6 +49,17 @@ def get_spark(
         # after aggregations, and a wrong static broadcast OOMs the driver
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
                 os.environ.get("SPARK_GRAFT_AQE_BROADCAST", "64m"))
+        # AQE coalescing floor: with parallelismFirst (default), AQE sizes
+        # post-shuffle partitions at max(total/parallelism, this floor).
+        # The 1m default collapses a small-input stage to a handful of
+        # tasks, which starves stages whose work is dominated by join
+        # FAN-OUT rather than input bytes (the inverted-index cosine join
+        # reads ~3.5 MB but produces 41M rows -- 3 tasks on 32 cores,
+        # measured 13.4s -> 4.0s at 128k).  The floor only binds when the
+        # total shuffle is small (extra tasks are cheap there); large
+        # shuffles still coalesce to total/parallelism at any scale
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",
