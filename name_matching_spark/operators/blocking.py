@@ -306,11 +306,20 @@ def prefix_filtered_top_n(
         "aggregate(map_values(map_zip_with(qm, mm, "
         "(k, v1, v2) -> coalesce(v1, 0d) * coalesce(v2, 0d))), "
         "0d, (acc, x) -> acc + x)")
+    # NO cosine > 0 filter here: it is vacuous by construction -- every
+    # candidate pair shares at least one prefix gram, that gram survives
+    # the SAME df-cap on both sides (q prefix and m posting both come from
+    # the cap-filtered vocabulary, and both maps hold the full cap-filtered
+    # vectors), and tf*idf weights are strictly positive (smooth idf >= 1),
+    # so the raw dot is always > 0.  Materially: Catalyst pushes such a
+    # filter into the map-join as a post-join condition, which evaluates
+    # the interpreted higher-order dot TWICE per candidate row (join
+    # condition + projection) -- measured as a ~2x on the verify stage,
+    # the largest stage of the prefix path.
     pairs = (
         cand.join(q_doc.select(GROUP_COL, "qid", "qm"), [GROUP_COL, "qid"])
         .join(m_map, [GROUP_COL, "mid"])
         .select(GROUP_COL, "qid", "mid", dot.alias("cosine"))
-        .filter(F.col("cosine") > 0)
     )
     if round_decimals is not None:
         pairs = pairs.withColumn(
